@@ -1,0 +1,40 @@
+"""
+The lkpy-tpu data layer: vocabularies, item lists, datasets.
+
+Capability parity with reference ``lenskit.data``
+(reference: src/lenskit/data/__init__.py).
+"""
+
+from lkpy_tpu.data.adapt import from_interactions_df
+from lkpy_tpu.data.builder import DatasetBuilder
+from lkpy_tpu.data.collection import ItemListCollection
+from lkpy_tpu.data.dataset import Dataset, EntitySet, MatrixRelationshipSet, RelationshipSet
+from lkpy_tpu.data.items import ItemList
+from lkpy_tpu.data.matrix import COO, CSR
+from lkpy_tpu.data.movielens import load_movielens, load_movielens_df
+from lkpy_tpu.data.query import QueryInput, RecQuery
+from lkpy_tpu.data.schema import AttrLayout, ColumnSpec, DataSchema, EntitySchema, RelationshipSchema
+from lkpy_tpu.data.vocab import Vocabulary
+
+__all__ = [
+    "AttrLayout",
+    "COO",
+    "CSR",
+    "ColumnSpec",
+    "DataSchema",
+    "Dataset",
+    "DatasetBuilder",
+    "EntitySchema",
+    "EntitySet",
+    "ItemList",
+    "ItemListCollection",
+    "MatrixRelationshipSet",
+    "QueryInput",
+    "RecQuery",
+    "RelationshipSchema",
+    "RelationshipSet",
+    "Vocabulary",
+    "from_interactions_df",
+    "load_movielens",
+    "load_movielens_df",
+]

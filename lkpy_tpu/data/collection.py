@@ -1,0 +1,196 @@
+"""
+ItemListCollection: keyed collections of item lists.
+
+Capability parity with the reference ``ItemListCollection``
+(reference: src/lenskit/data/_collection/_base.py:48): keyed by tuples of IDs
+(e.g. ``user_id``), dict/DataFrame/Parquet round-trips, lookup, projection.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+from os import PathLike
+from typing import Any, Iterator, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+from lkpy_tpu.data.items import ItemList
+
+__all__ = ["ItemListCollection"]
+
+
+class ItemListCollection:
+    """
+    A collection of item lists, keyed by tuples of field values.
+
+    Args:
+        key: the key field names (e.g. ``["user_id"]``).
+    """
+
+    def __init__(self, key: Sequence[str] | type | None = None, *, index: bool = True):
+        if key is None:
+            key = ["user_id"]
+        if isinstance(key, type):  # NamedTuple class
+            fields = list(key._fields)  # type: ignore[attr-defined]
+        else:
+            fields = list(key)
+        self._fields = tuple(fields)
+        self._key_type = namedtuple("ILCKey", fields, rename=True)
+        self._keys: list[tuple] = []
+        self._lists: list[ItemList] = []
+        self._index: dict[tuple, int] | None = {} if index else None
+
+    # ---- constructors ----------------------------------------------------
+    @classmethod
+    def empty(cls, key: Sequence[str] = ("user_id",)) -> "ItemListCollection":
+        return cls(key)
+
+    @classmethod
+    def from_dict(
+        cls, data: Mapping[Any, ItemList], key: Sequence[str] | str | None = None
+    ) -> "ItemListCollection":
+        """Create from a mapping of keys to item lists (reference: _base.py:146)."""
+        if key is None:
+            key = ("user_id",)
+        if isinstance(key, str):
+            key = (key,)
+        ilc = cls(key)
+        for k, il in data.items():
+            if not isinstance(k, tuple):
+                k = (k,)
+            ilc.add(il, *k)
+        return ilc
+
+    @classmethod
+    def from_df(cls, df: pd.DataFrame, key: Sequence[str] | str | None = None) -> "ItemListCollection":
+        """Create from a long DataFrame keyed by e.g. ``user_id`` (reference: _base.py:161)."""
+        if key is None:
+            key = [c for c in ("user_id",) if c in df.columns]
+            if not key:
+                raise ValueError("cannot infer key columns")
+        if isinstance(key, str):
+            key = (key,)
+        key = list(key)
+        ilc = cls(key)
+        for kvals, grp in df.groupby(key, sort=False):
+            if not isinstance(kvals, tuple):
+                kvals = (kvals,)
+            ilc.add(ItemList.from_df(grp.drop(columns=key)), *kvals)
+        return ilc
+
+    # ---- mutation --------------------------------------------------------
+    def add(self, items: ItemList, *key: Any, **kwkey: Any) -> None:
+        if kwkey:
+            key = tuple(kwkey[f] for f in self._fields)
+        if len(key) != len(self._fields):
+            raise ValueError(f"expected {len(self._fields)} key fields, got {len(key)}")
+        k = tuple(key)
+        self._keys.append(k)
+        self._lists.append(items)
+        if self._index is not None:
+            self._index[k] = len(self._keys) - 1
+
+    def add_from(self, other: "ItemListCollection", **fields: Any) -> None:
+        """Add all lists from another collection, adding fixed key fields
+        (reference: _base.py ``add_from``)."""
+        for k, il in other.items():
+            kd = dict(zip(other.key_fields, k))
+            kd.update(fields)
+            self.add(il, *(kd[f] for f in self._fields))
+
+    # ---- access ----------------------------------------------------------
+    @property
+    def key_fields(self) -> tuple[str, ...]:
+        return self._fields
+
+    @property
+    def key_type(self):
+        return self._key_type
+
+    def lookup(self, *key: Any, **kwkey: Any) -> ItemList | None:
+        if kwkey:
+            key = tuple(kwkey[f] for f in self._fields)
+        elif len(key) == 1 and isinstance(key[0], tuple):
+            key = key[0]
+        if self._index is None:
+            raise RuntimeError("collection is not indexed")
+        idx = self._index.get(tuple(key))
+        return self._lists[idx] if idx is not None else None
+
+    def lookup_projected(self, key: tuple) -> ItemList | None:
+        """Lookup by a key that may have extra fields (reference: _base.py:528)."""
+        if hasattr(key, "_fields"):
+            kd = dict(zip(key._fields, key))  # type: ignore[attr-defined]
+            try:
+                key = tuple(kd[f] for f in self._fields)
+            except KeyError:
+                return None
+        return self.lookup(*key)
+
+    def keys(self) -> Iterator[tuple]:
+        for k in self._keys:
+            yield self._key_type(*k)
+
+    def lists(self) -> Iterator[ItemList]:
+        return iter(self._lists)
+
+    def items(self) -> Iterator[tuple[tuple, ItemList]]:
+        for k, il in zip(self._keys, self._lists):
+            yield self._key_type(*k), il
+
+    def __len__(self) -> int:
+        return len(self._keys)
+
+    def __iter__(self):
+        return self.items()
+
+    def __getitem__(self, pos: int) -> tuple[tuple, ItemList]:
+        return self._key_type(*self._keys[pos]), self._lists[pos]
+
+    def total_items(self) -> int:
+        return sum(len(il) for il in self._lists)
+
+    # ---- export ----------------------------------------------------------
+    def to_df(self) -> pd.DataFrame:
+        """Long DataFrame with key columns (reference: _base.py:201)."""
+        frames = []
+        for k, il in zip(self._keys, self._lists):
+            df = il.to_df(numbers=False)
+            for f, v in reversed(list(zip(self._fields, k))):
+                df.insert(0, f, v)
+            frames.append(df)
+        if not frames:
+            return pd.DataFrame(columns=[*self._fields, "item_id"])
+        return pd.concat(frames, ignore_index=True)
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self.to_df(), preserve_index=False)
+
+    def save_parquet(self, path: str | PathLike) -> None:
+        """Save as Parquet (long layout with key columns; reference: _base.py:332)."""
+        df = self.to_df()
+        df.attrs["lkpy_tpu_key"] = list(self._fields)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        meta = dict(tbl.schema.metadata or {})
+        meta[b"lkpy_tpu_key"] = ",".join(self._fields).encode()
+        pq.write_table(tbl.replace_schema_metadata(meta), path)
+
+    @classmethod
+    def load_parquet(cls, path: str | PathLike, key: Sequence[str] | None = None) -> "ItemListCollection":
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        if key is None:
+            meta = tbl.schema.metadata or {}
+            if b"lkpy_tpu_key" in meta:
+                key = meta[b"lkpy_tpu_key"].decode().split(",")
+        return cls.from_df(tbl.to_pandas(), key)
+
+    def __repr__(self) -> str:
+        return f"<ItemListCollection {self._fields} [{len(self)} lists]>"

@@ -1,0 +1,35 @@
+"""
+Exception and warning taxonomy.
+
+Mirrors the reference's diagnostics module (reference:
+src/lenskit/diagnostics.py:12-55) — same class names so users migrating from
+the reference find the same error surface.
+"""
+
+__all__ = [
+    "DataWarning",
+    "DataError",
+    "ConfigWarning",
+    "PipelineError",
+    "PipelineWarning",
+]
+
+
+class DataWarning(UserWarning):
+    """Warning raised for detectable problems with input data."""
+
+
+class DataError(Exception):
+    """Error raised for problems with input data."""
+
+
+class ConfigWarning(UserWarning):
+    """Warning raised for detectable problems with component configuration."""
+
+
+class PipelineError(Exception):
+    """Pipeline structure or execution error (cycles, missing inputs, type errors)."""
+
+
+class PipelineWarning(Warning):
+    """Warning raised for detectable problems with pipeline configuration."""

@@ -1,0 +1,120 @@
+"""
+Training interfaces.
+
+Capability parity with the reference training module
+(reference: src/lenskit/training.py:40,232,271,345): ``TrainingOptions``,
+the ``Trainable`` protocol, the ``UsesTrainer`` epoch-loop driver, and the
+``ModelTrainer`` ABC.  Extended with a JAX PRNG key accessor, since all
+device randomness flows through ``jax.random``.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from typing import Any, Protocol, runtime_checkable
+
+import numpy as np
+
+from lkpy_tpu.random import RNGInput, int_seed, random_generator
+
+__all__ = ["TrainingOptions", "Trainable", "UsesTrainer", "ModelTrainer", "IterativeTraining"]
+
+
+@dataclass
+class TrainingOptions:
+    """
+    Options for training models (reference: training.py:40).
+
+    Args:
+        retrain: if False, components that are already trained are skipped
+            (reference: training.py:45).
+        device: JAX platform hint ("tpu", "cpu"); None = default.
+        rng: seed material for training randomness.
+    """
+
+    retrain: bool = True
+    device: str | None = None
+    rng: RNGInput = None
+
+    def random_generator(self) -> np.random.Generator:
+        return random_generator(self.rng)
+
+    def jax_key(self):
+        import jax.random
+
+        return jax.random.key(int_seed(self.rng))
+
+    def configured_device(self, *, use_default_rng: bool = False) -> str | None:
+        return self.device
+
+
+@runtime_checkable
+class Trainable(Protocol):  # pragma: no cover - protocol
+    """Protocol for trainable components (reference: training.py:232)."""
+
+    def train(self, data: Any, options: TrainingOptions = ...) -> None: ...
+
+
+class ModelTrainer(ABC):
+    """
+    Epoch-by-epoch trainer (reference: training.py:345).
+
+    Supports mid-training evaluation (for iterative hyperparameter tuning)
+    and checkpoint/resume via parameter containers.
+    """
+
+    @abstractmethod
+    def train_epoch(self) -> float | None:
+        """Train one epoch; returns a loss/delta metric if available."""
+
+    @abstractmethod
+    def finalize(self) -> None:
+        """Finish training and install results on the scorer."""
+
+    def get_parameters(self) -> dict[str, object]:
+        """Current parameter state (reference: state/_container.py:14)."""
+        raise NotImplementedError
+
+    def load_parameters(self, state: dict[str, object]) -> None:
+        raise NotImplementedError
+
+
+class UsesTrainer:
+    """
+    Mixin driving a :class:`ModelTrainer` for a configured number of epochs
+    (reference: training.py:271; loop at :319-329).
+
+    Subclasses implement ``create_trainer`` and have a ``config.epochs``.
+    """
+
+    trainer_class: type[ModelTrainer] | None = None
+
+    @property
+    def expected_training_epochs(self) -> int:
+        cfg = getattr(self, "config", None)
+        return int(getattr(cfg, "epochs", 1))
+
+    def create_trainer(self, data: Any, options: TrainingOptions) -> ModelTrainer:
+        raise NotImplementedError
+
+    def train(self, data: Any, options: TrainingOptions | None = None) -> None:
+        options = options or TrainingOptions()
+        if not options.retrain and getattr(self, "is_trained", False):
+            return
+        trainer = self.create_trainer(data, options)
+        from lkpy_tpu.logging import get_logger, item_progress
+
+        log = get_logger(type(self).__module__)
+        n = self.expected_training_epochs
+        with item_progress(f"train {type(self).__name__}", n) as pb:
+            for epoch in range(n):
+                metric = trainer.train_epoch()
+                log.debug("epoch finished", epoch=epoch + 1, metric=metric)
+                pb.update()
+        trainer.finalize()
+        self.is_trained = True
+
+
+# Backwards-compat name used by some reference docs
+IterativeTraining = UsesTrainer
