@@ -1,0 +1,43 @@
+"""
+Batch (offline) inference.
+
+Capability parity with reference ``lenskit.batch``
+(reference: src/lenskit/batch/__init__.py, _runner.py:60): the
+``BatchPipelineRunner`` with recommend/predict/score invocations, plus
+module-level ``recommend``/``predict``/``score`` helpers.
+
+TPU-native notes: generic pipelines run per-query on the host (like the
+reference's sequential/thread paths); scorers that implement the
+``score_batch`` protocol (``lkpy_tpu.batch.runner.BatchScorer``) get a
+device-resident vectorized path where the whole query batch is scored in one
+jitted program.
+"""
+
+from lkpy_tpu.batch.results import BatchResults
+from lkpy_tpu.batch.runner import BatchPipelineRunner, InvocationSpec
+
+__all__ = ["BatchPipelineRunner", "BatchResults", "InvocationSpec", "predict", "recommend", "score"]
+
+
+def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, **kwargs):
+    """Batch-recommend for a set of users (reference: batch/__init__.py)."""
+    runner = BatchPipelineRunner(n_jobs=n_jobs)
+    runner.recommend(n=n)
+    res = runner.run(pipeline, users if queries is None else queries)
+    return res.output("recommendations")
+
+
+def predict(pipeline, pairs, *, n_jobs=None, **kwargs):
+    """Batch rating prediction for user-item pairs (reference: batch/__init__.py)."""
+    runner = BatchPipelineRunner(n_jobs=n_jobs)
+    runner.predict()
+    res = runner.run(pipeline, pairs)
+    return res.output("predictions")
+
+
+def score(pipeline, pairs, *, n_jobs=None, **kwargs):
+    """Batch scoring for user-item pairs (reference: batch/__init__.py)."""
+    runner = BatchPipelineRunner(n_jobs=n_jobs)
+    runner.score()
+    res = runner.run(pipeline, pairs)
+    return res.output("scores")

@@ -1,0 +1,62 @@
+"""
+Evaluation metrics (reference: src/lenskit/metrics/__init__.py).
+"""
+
+from lkpy_tpu.metrics._base import GlobalMetric, ListMetric, Metric, MetricFunction, RankingMetricBase
+from lkpy_tpu.metrics._weighting import GeometricRankWeight, LogRankWeight, RankWeight
+from lkpy_tpu.metrics.collect import MeasurementCollector, RunAnalysis, RunAnalysisResult
+from lkpy_tpu.metrics.predict import MAE, RMSE, mae, rmse
+from lkpy_tpu.metrics.quick import QuickResults, quick_measure_model
+from lkpy_tpu.metrics.ranking import (
+    DCG,
+    ILS,
+    NDCG,
+    RBP,
+    AveragePrecision,
+    Entropy,
+    ExposureGini,
+    Hit,
+    ListGini,
+    MeanPopRank,
+    Precision,
+    RankBiasedEntropy,
+    Recall,
+    RecipRank,
+)
+from lkpy_tpu.metrics.reranking import least_item_promoted, rank_biased_overlap
+
+__all__ = [
+    "AveragePrecision",
+    "DCG",
+    "Entropy",
+    "ExposureGini",
+    "GeometricRankWeight",
+    "GlobalMetric",
+    "Hit",
+    "ILS",
+    "ListGini",
+    "ListMetric",
+    "LogRankWeight",
+    "MAE",
+    "MeanPopRank",
+    "MeasurementCollector",
+    "Metric",
+    "MetricFunction",
+    "NDCG",
+    "Precision",
+    "QuickResults",
+    "RankBiasedEntropy",
+    "RankWeight",
+    "RankingMetricBase",
+    "RBP",
+    "Recall",
+    "RecipRank",
+    "RMSE",
+    "RunAnalysis",
+    "RunAnalysisResult",
+    "least_item_promoted",
+    "mae",
+    "quick_measure_model",
+    "rank_biased_overlap",
+    "rmse",
+]
