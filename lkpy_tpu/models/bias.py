@@ -89,6 +89,19 @@ class BiasModel:
             model.user_biases = np.asarray(u_bias, dtype=np.float32)
         return model
 
+    def transform_matrix(self, csr):
+        """Subtract biases from CSR rating values
+        (reference: bias.py ``transform_matrix``): r' = r − b_g − b_i − b_u."""
+        from lkpy_tpu.data.matrix import CSR
+
+        vals = csr.values.astype(np.float64) - self.global_bias
+        coo = csr.to_coo()
+        if self.item_biases is not None:
+            vals = vals - self.item_biases[coo.col]
+        if self.user_biases is not None:
+            vals = vals - self.user_biases[coo.row]
+        return CSR(csr.rowptr, csr.colind, vals.astype(np.float32), csr.shape, csr.fields)
+
     def compute_for_items(
         self,
         items: ItemList,

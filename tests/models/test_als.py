@@ -1,0 +1,103 @@
+import numpy as np
+import pickle
+import pytest
+
+from lkpy_tpu import recommend, topn_pipeline
+from lkpy_tpu.data import ItemList, RecQuery
+from lkpy_tpu.metrics import quick_measure_model
+from lkpy_tpu.models.als import BiasedMFScorer, ImplicitMFScorer
+from lkpy_tpu.training import TrainingOptions
+
+
+@pytest.fixture(scope="module")
+def biasedmf(ml_ds):
+    s = BiasedMFScorer(features=32, epochs=5)
+    s.train(ml_ds, TrainingOptions(rng=42))
+    return s
+
+
+@pytest.fixture(scope="module")
+def implicitmf(ml_ds):
+    s = ImplicitMFScorer(features=32, epochs=5)
+    s.train(ml_ds, TrainingOptions(rng=42))
+    return s
+
+
+def test_config_aliases():
+    s = BiasedMFScorer(features=20)
+    assert s.config.embedding_size == 20
+    s2 = BiasedMFScorer(embedding_size=24)
+    assert s2.config.embedding_size == 24
+
+
+def test_explicit_trains(biasedmf, ml_ds):
+    assert biasedmf.item_embeddings.shape == (ml_ds.item_count, 32)
+    assert biasedmf.user_embeddings.shape == (ml_ds.user_count, 32)
+    assert np.isfinite(biasedmf.item_embeddings).all()
+
+
+def test_explicit_scores(biasedmf, ml_ds):
+    out = biasedmf(query=1, items=ItemList(item_ids=[31, 1029, 999999]))
+    s = out.scores()
+    assert np.isfinite(s[:2]).all()
+    assert np.isnan(s[2])
+    # predictions roughly in rating range
+    assert 0 < s[0] < 6
+
+
+def test_explicit_unknown_user(biasedmf):
+    out = biasedmf(query=99999, items=ItemList(item_ids=[31]))
+    # falls back to bias-only score via finalize (no embedding -> NaN + bias)
+    assert len(out) == 1
+
+
+def test_explicit_fold_in(biasedmf, ml_ds):
+    hist = ml_ds.user_row(1)
+    q = RecQuery(user_items=hist)
+    out = biasedmf(query=q, items=ItemList(item_ids=[31, 1029]))
+    assert np.isfinite(out.scores()).all()
+
+
+def test_implicit_scores(implicitmf):
+    out = implicitmf(query=1, items=ItemList(item_ids=[31, 1029]))
+    assert np.isfinite(out.scores()).all()
+
+
+def test_implicit_fold_in(implicitmf, ml_ds):
+    hist = ml_ds.user_row(1)
+    q = RecQuery(user_items=hist)
+    out = implicitmf(query=q, items=ItemList(item_ids=[31, 1029]))
+    assert np.isfinite(out.scores()).all()
+
+
+def test_pickle_roundtrip(biasedmf):
+    b2 = pickle.loads(pickle.dumps(biasedmf))
+    items = ItemList(item_ids=[31, 1029])
+    np.testing.assert_allclose(b2(query=1, items=items).scores(), biasedmf(query=1, items=items).scores())
+
+
+def test_retrain_skip(ml_ds, biasedmf):
+    emb = biasedmf.item_embeddings
+    biasedmf.train(ml_ds, TrainingOptions(retrain=False))
+    assert biasedmf.item_embeddings is emb
+
+
+@pytest.mark.eval
+def test_explicit_accuracy_gate(ml_ds):
+    """Reference gate: BiasedMF RMSE 0.89-0.99 on ML-100K
+    (tests/models/test_als_explicit.py:30); same window on ml-latest-small."""
+    res = quick_measure_model(
+        BiasedMFScorer(features=50, epochs=10), ml_ds, predicts_ratings=True, rng=42
+    )
+    rmse = res.list_summary().loc["RMSE", "mean"]
+    assert 0.8 <= rmse <= 1.0
+
+
+@pytest.mark.eval
+def test_implicit_accuracy_gate(ml_ds):
+    """Reference gate: ImplicitMF NDCG@20 >= 0.22 on ML-100K
+    (tests/models/test_als_implicit.py:33).  ml-latest-small has fewer users
+    than ML-100K, so we sample 50% of users to keep the estimate stable."""
+    res = quick_measure_model(ImplicitMFScorer(features=64, epochs=10), ml_ds, rng=42, user_frac=0.5)
+    ndcg = res.list_summary().loc["NDCG@20", "mean"]
+    assert ndcg >= 0.22
