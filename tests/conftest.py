@@ -45,3 +45,20 @@ def ml_ds():
     from lkpy_tpu.data.movielens import load_movielens
 
     return load_movielens(ML_PATH)
+
+
+@pytest.fixture(scope="session")
+def ml_dense_ds(ml_ratings):
+    """ml-latest-small restricted to items with >= 20 ratings.
+
+    The reference's accuracy gates were calibrated on ML-100K (1682 items,
+    6.3% dense); ml-latest-small has a long tail of 1-2-rating items that
+    breaks explicit kNN top-N for ANY implementation.  This subset matches
+    ML-100K's density (1303 items), making the published gate thresholds
+    transferable.
+    """
+    from lkpy_tpu.data import from_interactions_df
+
+    counts = ml_ratings.groupby("item_id").size()
+    dense = ml_ratings[ml_ratings.item_id.isin(counts[counts >= 20].index)]
+    return from_interactions_df(dense)
