@@ -1,0 +1,233 @@
+"""
+LightGCN graph recommender (He et al. 2020).
+
+Capability parity with the reference ``LightGCNScorer``
+(reference: src/lenskit/graphs/lightgcn.py:42,108,186,312,319), which wraps
+``torch_geometric.nn.LightGCN``.  TPU-native: propagation is a symmetric-
+normalized bipartite SpMM as COO segment-sums (no PyG), with BPR or logistic
+loss and negative sampling inside the jitted train step — sharing the FlexMF
+embedding machinery (the reference's ``FlexMFModel`` likewise unifies
+MF + LightGCN layers, flexmf/_model.py:18).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from pydantic import AliasChoices, BaseModel, Field, model_validator
+
+from lkpy_tpu.data import Dataset, ItemList, QueryInput, RecQuery, Vocabulary
+from lkpy_tpu.logging import get_logger
+from lkpy_tpu.models.flexmf import init_params
+from lkpy_tpu.ops.sampling import DeviceCSRIndex, sample_negatives
+from lkpy_tpu.pipeline.components import Component
+from lkpy_tpu.random import int_seed
+from lkpy_tpu.training import ModelTrainer, TrainingOptions, UsesTrainer
+
+_log = get_logger(__name__)
+
+__all__ = ["LightGCNConfig", "LightGCNScorer"]
+
+
+class LightGCNConfig(BaseModel):
+    """Configuration (reference: graphs/lightgcn.py:42)."""
+
+    embedding_size: int = Field(default=16, validation_alias=AliasChoices("embedding_size", "features"))
+    layer_count: int = 2
+    layer_blend: float | list[float] | None = None
+    batch_size: int = 4 * 1024
+    learning_rate: float = 0.01
+    epochs: int = 10
+    regularization: float | None = 0.01
+    loss: Literal["logistic", "pairwise"] = "pairwise"
+
+    @model_validator(mode="after")
+    def check_layer_blending(self):
+        if isinstance(self.layer_blend, list) and len(self.layer_blend) != self.layer_count:
+            raise ValueError("layer_blend length must equal layer_count")
+        return self
+
+    def blend_weights(self) -> np.ndarray:
+        k = self.layer_count
+        if self.layer_blend is None:
+            return np.full(k + 1, 1.0 / (k + 1), dtype=np.float32)
+        if isinstance(self.layer_blend, list):
+            return np.asarray([1.0] + list(self.layer_blend), dtype=np.float32) / (k + 1)
+        return np.full(k + 1, self.layer_blend, dtype=np.float32)
+
+
+def propagate(u, i, conv, blend):
+    """Symmetric-normalized LightGCN propagation; blended layer mean."""
+    rows, cols, vals, n_users, n_items = conv
+    u_acc = u * blend[0]
+    i_acc = i * blend[0]
+    for l in range(1, len(blend)):
+        u_new = jax.ops.segment_sum(vals[:, None] * i[cols], rows, num_segments=n_users)
+        i_new = jax.ops.segment_sum(vals[:, None] * u[rows], cols, num_segments=n_items)
+        u, i = u_new, i_new
+        u_acc = u_acc + u * blend[l]
+        i_acc = i_acc + i * blend[l]
+    return u_acc, i_acc
+
+
+class LightGCNScorer(UsesTrainer, Component):
+    """LightGCN scorer (reference: graphs/lightgcn.py:108)."""
+
+    config: LightGCNConfig
+
+    users: Vocabulary
+    items: Vocabulary
+    user_embeddings: np.ndarray
+    item_embeddings: np.ndarray
+
+    @property
+    def is_trained(self) -> bool:
+        return hasattr(self, "item_embeddings")
+
+    @is_trained.setter
+    def is_trained(self, v):
+        pass
+
+    def create_trainer(self, data, options):
+        return LightGCNTrainer(self, data, options)
+
+    def __call__(self, query: QueryInput, items: ItemList) -> ItemList:
+        query = RecQuery.create(query)
+        user_num = None
+        if query.user_id is not None:
+            user_num = self.users.number(query.user_id, missing="negative")
+        if user_num is None or user_num < 0:
+            return ItemList(items, scores=np.full(len(items), np.nan, dtype=np.float32))
+        item_nums = items.numbers(vocabulary=self.items, missing="negative")
+        mask = item_nums >= 0
+        scores = np.full(len(items), np.nan, dtype=np.float32)
+        scores[mask] = self.item_embeddings[item_nums[mask]] @ self.user_embeddings[user_num]
+        return ItemList(items, scores=scores)
+
+    def get_parameters(self):
+        return {"user_embeddings": self.user_embeddings, "item_embeddings": self.item_embeddings}
+
+    def load_parameters(self, state):
+        self.user_embeddings = state["user_embeddings"]
+        self.item_embeddings = state["item_embeddings"]
+
+
+class LightGCNTrainer(ModelTrainer):
+    """Trainer (reference: lightgcn.py:186; BPR/logistic at :312,319)."""
+
+    def __init__(self, scorer: LightGCNScorer, data: Dataset, options: TrainingOptions):
+        self.scorer = scorer
+        self.config = scorer.config
+        scorer.users = data.users
+        scorer.items = data.items
+        self.rng = options.random_generator()
+        self.key = jax.random.key(int_seed(options.rng))
+        self.n_users = data.user_count
+        self.n_items = data.item_count
+        self.epochs_trained = 0
+
+        csr = data.interaction_matrix().csr(None)
+        coo = csr.to_coo()
+        self._users = coo.row.astype(np.int32)
+        self._items = coo.col.astype(np.int32)
+        self.neg_index = DeviceCSRIndex.from_csr(csr)
+        deg_u = np.maximum(np.diff(csr.rowptr), 1).astype(np.float32)
+        deg_i = np.maximum(np.bincount(coo.col, minlength=self.n_items), 1).astype(np.float32)
+        vals = (1.0 / np.sqrt(deg_u[coo.row] * deg_i[coo.col])).astype(np.float32)
+        self.conv = (
+            jnp.asarray(coo.row),
+            jnp.asarray(coo.col),
+            jnp.asarray(vals),
+            self.n_users,
+            self.n_items,
+        )
+        self.blend = jnp.asarray(self.config.blend_weights())
+
+        self.key, k = jax.random.split(self.key)
+        self.params = init_params(
+            k, self.n_users, self.n_items, self.config.embedding_size, False, False
+        )
+        self.opt = optax.adam(self.config.learning_rate)
+        self.opt_state = self.opt.init(self.params)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        cfg = self.config
+        conv = self.conv
+        blend = self.blend
+        reg = cfg.regularization
+        loss_kind = cfg.loss
+        neg_index = self.neg_index
+        opt = self.opt
+
+        def loss_fn(params, key, users, pos):
+            u_eff, i_eff = propagate(params["u_embed"], params["i_embed"], conv, blend)
+            negs = sample_negatives(key, neg_index, users, n=1)[:, 0]
+            ue = u_eff[users]
+            pe = i_eff[pos]
+            ne = i_eff[negs]
+            pos_s = jnp.sum(ue * pe, axis=-1)
+            neg_s = jnp.sum(ue * ne, axis=-1)
+            if loss_kind == "pairwise":
+                loss = -jnp.mean(jax.nn.log_sigmoid(pos_s - neg_s))
+            else:
+                loss = -0.5 * (
+                    jnp.mean(jax.nn.log_sigmoid(pos_s)) + jnp.mean(jax.nn.log_sigmoid(-neg_s))
+                )
+            if reg:
+                # regularize the *ego* embeddings of the batch (standard BPR-reg)
+                n0 = (
+                    jnp.sum(params["u_embed"][users] ** 2)
+                    + jnp.sum(params["i_embed"][pos] ** 2)
+                    + jnp.sum(params["i_embed"][negs] ** 2)
+                ) / users.shape[0]
+                loss = loss + reg * 0.5 * n0
+            return loss
+
+        @jax.jit
+        def step(params, opt_state, key, users, pos):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, users, pos)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def train_epoch(self) -> float:
+        n = len(self._users)
+        perm = self.rng.permutation(n)
+        bs = min(self.config.batch_size, n)
+        total = 0.0
+        count = 0
+        for lo in range(0, n, bs):
+            idx = perm[lo : lo + bs]
+            if len(idx) < bs:
+                idx = np.concatenate([idx, self.rng.choice(n, size=bs - len(idx))])
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, loss = self._step(
+                self.params,
+                self.opt_state,
+                k,
+                jnp.asarray(self._users[idx]),
+                jnp.asarray(self._items[idx]),
+            )
+            total += float(loss)
+            count += 1
+        self.epochs_trained += 1
+        return total / max(count, 1)
+
+    def finalize(self):
+        u_eff, i_eff = propagate(self.params["u_embed"], self.params["i_embed"], self.conv, self.blend)
+        self.scorer.user_embeddings = np.asarray(u_eff)
+        self.scorer.item_embeddings = np.asarray(i_eff)
+
+    def get_parameters(self):
+        return {k: np.asarray(v) for k, v in self.params.items()}
+
+    def load_parameters(self, state):
+        self.params = {k: jnp.asarray(v) for k, v in state.items()}
+        self.opt_state = self.opt.init(self.params)
