@@ -1,0 +1,58 @@
+"""``lkpy-tpu pipeline`` subcommands (reference: src/lenskit/cli/pipeline/)."""
+
+from __future__ import annotations
+
+import json
+
+import click
+
+from lkpy_tpu.cli.common import parse_params, resolve_model
+
+
+@click.group("pipeline")
+def pipeline():
+    """Pipeline configuration commands."""
+
+
+@pipeline.command("expand")
+@click.option("-m", "--model", "model_spec", required=True)
+@click.option("-p", "--param", "params", multiple=True)
+@click.option("-n", "--list-length", type=int, default=None)
+@click.option("-o", "--output", type=click.Path(), default=None)
+def expand(model_spec, params, list_length, output):
+    """Expand a model spec into a full pipeline config (reference: cli/pipeline/expand)."""
+    from lkpy_tpu.pipeline import topn_pipeline
+
+    scorer = resolve_model(model_spec, parse_params(params))
+    pipe = topn_pipeline(scorer, n=list_length, name=model_spec)
+    cfg = pipe.get_config().model_dump(mode="json", exclude_none=True)
+    text = json.dumps(cfg, indent=2)
+    if output:
+        with open(output, "w") as f:
+            f.write(text)
+    else:
+        click.echo(text)
+
+
+@pipeline.command("diagram")
+@click.option("-m", "--model", "model_spec", required=True)
+def diagram(model_spec):
+    """Print a Mermaid diagram of the pipeline (reference: pipeline/_diagram.py)."""
+    from lkpy_tpu.pipeline import topn_pipeline
+    from lkpy_tpu.pipeline.nodes import ComponentNode, FallbackNode, InputNode
+
+    pipe = topn_pipeline(resolve_model(model_spec), name=model_spec)
+    lines = ["flowchart TD"]
+    for node in pipe.nodes:
+        nid = node.name.replace("-", "_")
+        if isinstance(node, InputNode):
+            lines.append(f"    {nid}[/{node.name}/]")
+        elif isinstance(node, FallbackNode):
+            lines.append(f"    {nid}{{{{{node.name}}}}}")
+            for alt in node.alternatives:
+                lines.append(f"    {alt.replace('-', '_')} -.-> {nid}")
+        elif isinstance(node, ComponentNode):
+            lines.append(f"    {nid}[{node.name}]")
+            for iname, src in node.inputs.items():
+                lines.append(f"    {src.replace('-', '_')} -->|{iname}| {nid}")
+    click.echo("\n".join(lines))

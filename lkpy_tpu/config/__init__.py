@@ -1,0 +1,139 @@
+"""
+Global configuration.
+
+Capability parity with the reference config system
+(reference: src/lenskit/config/__init__.py:55,79 ``lenskit_config`` /
+``configure`` and src/lenskit/schemas/settings.py:218 ``LenskitSettings``):
+layered settings from ``lkpy-tpu.toml`` + ``lkpy-tpu.local.toml`` + ``LKT_*``
+environment variables + context-local overrides.  Implemented with plain
+pydantic + tomllib (pydantic-settings is not in the image).
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from contextlib import contextmanager
+from contextvars import ContextVar
+from pathlib import Path
+from typing import Any, Literal
+
+from pydantic import BaseModel, Field, model_validator
+
+__all__ = ["Settings", "ParallelSettings", "MachineSettings", "lkpy_tpu_config", "configure", "EmbeddingSizeMixin"]
+
+CONFIG_FILES = ["lkpy-tpu.toml", "lkpy-tpu.local.toml"]
+ENV_PREFIX = "LKT_"
+
+
+class ParallelSettings(BaseModel):
+    """Parallelism knobs (reference: schemas/settings.py:104 ``ParallelSettings``)."""
+
+    processes: int | None = None
+    threads: int | None = None
+    backend_threads: int | None = None
+    data_axis: int = -1
+    "Mesh data-axis size (−1 = all remaining devices)."
+    model_axis: int = 1
+    "Mesh model-axis size (row-sharded tables)."
+
+
+class MachineSettings(BaseModel):
+    platform: Literal["tpu", "cpu", "default"] = "default"
+    "JAX platform preference."
+
+
+class Settings(BaseModel):
+    """Root settings (reference: schemas/settings.py:218)."""
+
+    random_seed: int | None = None
+    parallel: ParallelSettings = Field(default_factory=ParallelSettings)
+    machine: MachineSettings = Field(default_factory=MachineSettings)
+    data_dir: str | None = None
+
+
+_loaded: Settings | None = None
+_overrides: ContextVar[Settings | None] = ContextVar("lkt_config_overrides", default=None)
+
+
+def _deep_merge(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _env_overrides() -> dict:
+    """Parse LKT_SECTION_FIELD=value env vars into nested dicts."""
+    out: dict[str, Any] = {}
+    fields = Settings.model_fields
+    for key, val in os.environ.items():
+        if not key.startswith(ENV_PREFIX):
+            continue
+        path = key[len(ENV_PREFIX):].lower()
+        # try to match "section_field" to nested models
+        parts = path.split("_")
+        node = out
+        # greedy: if first token names a nested model, nest
+        if parts[0] in fields and len(parts) > 1 and isinstance(fields[parts[0]].default_factory, type):
+            node = out.setdefault(parts[0], {})
+            path = "_".join(parts[1:])
+        try:
+            parsed: Any = tomllib.loads(f"v = {val}")["v"]
+        except tomllib.TOMLDecodeError:
+            parsed = val
+        node[path] = parsed
+    return out
+
+
+def load_config(root: Path | str | None = None) -> Settings:
+    data: dict = {}
+    root = Path(root) if root else Path.cwd()
+    for name in CONFIG_FILES:
+        f = root / name
+        if f.exists():
+            with open(f, "rb") as fp:
+                data = _deep_merge(data, tomllib.load(fp))
+    data = _deep_merge(data, _env_overrides())
+    return Settings.model_validate(data)
+
+
+def lkpy_tpu_config() -> Settings:
+    """The active configuration (reference: config/__init__.py:55)."""
+    ov = _overrides.get()
+    if ov is not None:
+        return ov
+    global _loaded
+    if _loaded is None:
+        _loaded = load_config()
+    return _loaded
+
+
+@contextmanager
+def configure(**kwargs):
+    """Context-local configuration overrides (reference: config/__init__.py:79)."""
+    base = lkpy_tpu_config()
+    merged = Settings.model_validate(_deep_merge(base.model_dump(), kwargs))
+    token = _overrides.set(merged)
+    try:
+        yield merged
+    finally:
+        _overrides.reset(token)
+
+
+class EmbeddingSizeMixin:
+    """Power-of-two embedding-size sugar (reference: config/common.py:16
+    ``EmbeddingSizeMixin``): configs accept ``embedding_size_exp`` to set
+    ``embedding_size = 2**exp`` for hyperparameter sweeps."""
+
+    @model_validator(mode="before")
+    @classmethod
+    def _apply_embedding_exp(cls, data):
+        if isinstance(data, dict) and "embedding_size_exp" in data:
+            data = dict(data)
+            exp = data.pop("embedding_size_exp")
+            data.setdefault("embedding_size", 2 ** int(exp))
+        return data

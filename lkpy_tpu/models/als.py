@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from pydantic import AliasChoices, BaseModel, Field
 
+from lkpy_tpu.config import EmbeddingSizeMixin
+
 from lkpy_tpu.data import Dataset, ItemList, QueryInput, RecQuery, Vocabulary
 from lkpy_tpu.logging import get_logger
 from lkpy_tpu.models.bias import BiasModel
@@ -49,7 +51,7 @@ class UIPair(BaseModel):
     item: float
 
 
-class ALSConfig(BaseModel):
+class ALSConfig(EmbeddingSizeMixin, BaseModel):
     """ALS configuration (reference: als/_common.py:36)."""
 
     embedding_size: int = Field(default=64, validation_alias=AliasChoices("embedding_size", "features"))

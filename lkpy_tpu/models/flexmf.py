@@ -25,6 +25,8 @@ import numpy as np
 import optax
 from pydantic import AliasChoices, BaseModel, Field, model_validator
 
+from lkpy_tpu.config import EmbeddingSizeMixin
+
 from lkpy_tpu.data import Dataset, ItemList, QueryInput, RecQuery, Vocabulary
 from lkpy_tpu.logging import get_logger
 from lkpy_tpu.ops.sampling import DeviceCSRIndex, sample_negatives
@@ -53,7 +55,7 @@ PRESETS = {
 }
 
 
-class FlexMFConfigBase(BaseModel):
+class FlexMFConfigBase(EmbeddingSizeMixin, BaseModel):
     """Common FlexMF configuration (reference: _base.py:34)."""
 
     embedding_size: int = Field(default=64, validation_alias=AliasChoices("embedding_size", "features"))

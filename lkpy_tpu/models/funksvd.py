@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from pydantic import AliasChoices, BaseModel, Field
 
+from lkpy_tpu.config import EmbeddingSizeMixin
+
 from lkpy_tpu.data import Dataset, ItemList, QueryInput, RecQuery, Vocabulary
 from lkpy_tpu.logging import Stopwatch, get_logger, item_progress
 from lkpy_tpu.models.bias import BiasModel
@@ -29,7 +31,7 @@ __all__ = ["FunkSVDConfig", "FunkSVDScorer"]
 INITIAL_VALUE = 0.1
 
 
-class FunkSVDConfig(BaseModel):
+class FunkSVDConfig(EmbeddingSizeMixin, BaseModel):
     """Configuration (reference: funksvd.py:34)."""
 
     embedding_size: int = Field(default=64, validation_alias=AliasChoices("embedding_size", "features"))

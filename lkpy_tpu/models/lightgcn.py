@@ -20,6 +20,8 @@ import numpy as np
 import optax
 from pydantic import AliasChoices, BaseModel, Field, model_validator
 
+from lkpy_tpu.config import EmbeddingSizeMixin
+
 from lkpy_tpu.data import Dataset, ItemList, QueryInput, RecQuery, Vocabulary
 from lkpy_tpu.logging import get_logger
 from lkpy_tpu.models.flexmf import init_params
@@ -33,7 +35,7 @@ _log = get_logger(__name__)
 __all__ = ["LightGCNConfig", "LightGCNScorer"]
 
 
-class LightGCNConfig(BaseModel):
+class LightGCNConfig(EmbeddingSizeMixin, BaseModel):
     """Configuration (reference: graphs/lightgcn.py:42)."""
 
     embedding_size: int = Field(default=16, validation_alias=AliasChoices("embedding_size", "features"))

@@ -1,0 +1,136 @@
+"""
+Shared component test bases.
+
+Capability parity with the reference's uniform model test grid
+(reference: src/lenskit/testing/_components.py:29 ``BasicComponentTests`` —
+config round-trips; :110 ``ScorerTests`` — train / score known & unknown
+users / empty queries / pickle round-trip / topn pipeline runs; accuracy
+gates :348,365).
+
+Subclass and set ``component`` (and optionally ``config``,
+``expected_rmse``, ``expected_ndcg``, ``needs_ratings``).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pytest
+
+from lkpy_tpu.data import Dataset, ItemList, RecQuery
+from lkpy_tpu.metrics import quick_measure_model
+from lkpy_tpu.pipeline import topn_pipeline
+from lkpy_tpu.training import TrainingOptions
+
+__all__ = ["BasicComponentTests", "ScorerTests"]
+
+
+class BasicComponentTests:
+    """Config instantiation + round-trip tests (reference: _components.py:29)."""
+
+    component: type
+    config: object | None = None
+
+    def _make(self):
+        if self.config is not None:
+            return self.component(self.config)
+        return self.component()
+
+    def test_instantiate_default(self):
+        comp = self._make()
+        assert comp is not None
+
+    def test_config_roundtrip(self):
+        comp = self._make()
+        dumped = comp.dump_config()
+        comp2 = self.component(self.component.validate_config(dumped))
+        assert comp2.dump_config() == dumped
+
+
+class ScorerTests(BasicComponentTests):
+    """Train/score grid on MovieLens (reference: _components.py:110)."""
+
+    can_score: str = "all"  # "all" | "some"
+    needs_ratings: bool = False
+    expected_rmse: tuple[float, float] | None = None
+    expected_ndcg: float | None = None
+    use_dense_gate: bool = False
+
+    @pytest.fixture(scope="class")
+    def trained(self, ml_ds: Dataset):
+        comp = self._make()
+        comp.train(ml_ds, TrainingOptions(rng=42))
+        return comp
+
+    def _query(self, ml_ds, user_id=1):
+        hist = ml_ds.user_row(user_id)
+        return RecQuery(user_id=user_id, user_items=hist)
+
+    def test_score_known_items(self, trained, ml_ds):
+        out = trained(query=self._query(ml_ds), items=ItemList(item_ids=[31, 1029, 296]))
+        assert len(out) == 3
+        s = out.scores()
+        assert s is not None
+        if self.can_score == "all":
+            assert np.isfinite(s).all()
+
+    def test_score_unknown_item(self, trained, ml_ds):
+        out = trained(query=self._query(ml_ds), items=ItemList(item_ids=[9999999]))
+        assert len(out) == 1
+
+    def test_score_unknown_user(self, trained, ml_ds):
+        q = RecQuery(user_id=99999999)
+        out = trained(query=q, items=ItemList(item_ids=[31]))
+        assert len(out) == 1
+
+    def test_empty_query(self, trained, ml_ds):
+        out = trained(query=RecQuery(), items=ItemList(item_ids=[31, 1029]))
+        assert len(out) == 2
+
+    def test_empty_items(self, trained, ml_ds):
+        out = trained(query=self._query(ml_ds), items=ItemList())
+        assert len(out) == 0
+
+    def test_pickle_roundtrip(self, trained, ml_ds):
+        copy = pickle.loads(pickle.dumps(trained))
+        q = self._query(ml_ds)
+        items = ItemList(item_ids=[31, 1029, 296])
+        np.testing.assert_allclose(
+            copy(query=q, items=items).scores(),
+            trained(query=q, items=items).scores(),
+            equal_nan=True,
+            rtol=1e-6,
+        )
+
+    def test_topn_pipeline_run(self, ml_ds):
+        pipe = topn_pipeline(self._make(), n=10)
+        pipe.train(ml_ds, TrainingOptions(rng=42))
+        from lkpy_tpu import recommend
+
+        recs = recommend(pipe, query=1, n=10)
+        assert len(recs) <= 10
+        assert recs.ordered
+
+    @pytest.mark.slow
+    @pytest.mark.eval
+    def test_batch_prediction_accuracy(self, ml_ds, ml_dense_ds):
+        """RMSE gate (reference: _components.py:348)."""
+        if self.expected_rmse is None:
+            pytest.skip("no expected RMSE")
+        ds = ml_dense_ds if self.use_dense_gate else ml_ds
+        res = quick_measure_model(self._make(), ds, predicts_ratings=True, rng=42, user_frac=0.5)
+        rmse = float(res.list_summary().loc["RMSE", "mean"])
+        lo, hi = self.expected_rmse
+        assert lo <= rmse <= hi
+
+    @pytest.mark.slow
+    @pytest.mark.eval
+    def test_batch_top_n_accuracy(self, ml_ds, ml_dense_ds):
+        """NDCG gate (reference: _components.py:365)."""
+        if self.expected_ndcg is None:
+            pytest.skip("no expected NDCG")
+        ds = ml_dense_ds if self.use_dense_gate else ml_ds
+        res = quick_measure_model(self._make(), ds, rng=42, user_frac=0.5)
+        ndcg = float(res.list_summary().loc["NDCG@20", "mean"])
+        assert ndcg >= self.expected_ndcg

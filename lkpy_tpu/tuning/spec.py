@@ -1,0 +1,54 @@
+"""
+Tuning specification (reference: src/lenskit/schemas/tuning.py:149).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+import numpy as np
+from pydantic import BaseModel, Field
+
+__all__ = ["ParamSpace", "TuningSpec"]
+
+
+class ParamSpace(BaseModel):
+    """A search dimension: int/float range (optionally log-scaled) or choices."""
+
+    type: Literal["int", "float", "categorical"] = "float"
+    min: float | None = None
+    max: float | None = None
+    log: bool = False
+    choices: list[Any] | None = None
+
+    def sample(self, rng: np.random.Generator):
+        if self.choices is not None:
+            return self.choices[int(rng.integers(0, len(self.choices)))]
+        lo, hi = float(self.min), float(self.max)
+        if self.log:
+            v = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        else:
+            v = float(rng.uniform(lo, hi))
+        if self.type == "int":
+            return int(round(v))
+        return v
+
+
+class TuningSpec(BaseModel):
+    """What to tune and how (reference: schemas/tuning.py:149)."""
+
+    model: str
+    "Model name (CLI registry) or module:Class path."
+    space: dict[str, ParamSpace] = Field(default_factory=dict)
+    metric: str = "NDCG@20"
+    mode: Literal["maximize", "minimize"] = "maximize"
+    max_points: int = 20
+    "Number of search points to evaluate."
+    method: Literal["random", "iterative"] = "random"
+    "random = full trainings; iterative = per-epoch plateau-stopped trials."
+    max_epochs: int = 20
+    "Epoch cap for iterative trials."
+    predicts_ratings: bool = False
+    n_recs: int = 20
+    fixed: dict[str, Any] = Field(default_factory=dict)
+    "Fixed model config values."
