@@ -19,8 +19,21 @@ from lkpy_tpu.batch.runner import BatchPipelineRunner, InvocationSpec
 __all__ = ["BatchPipelineRunner", "BatchResults", "InvocationSpec", "predict", "recommend", "score"]
 
 
-def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, **kwargs):
-    """Batch-recommend for a set of users (reference: batch/__init__.py)."""
+def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True, **kwargs):
+    """Batch-recommend for a set of users (reference: batch/__init__.py).
+
+    With ``device=True`` (default), standard topn pipelines over
+    embedding-family scorers run the whole batch in one jitted device
+    program (lkpy_tpu.batch.device); other pipelines fall back to
+    per-query execution."""
+    from lkpy_tpu.data import ItemListCollection
+
+    if device and queries is None and not isinstance(users, ItemListCollection):
+        from lkpy_tpu.batch.device import try_device_recommend
+
+        fast = try_device_recommend(pipeline, users, n)
+        if fast is not None:
+            return fast
     runner = BatchPipelineRunner(n_jobs=n_jobs)
     runner.recommend(n=n)
     res = runner.run(pipeline, users if queries is None else queries)

@@ -1,0 +1,243 @@
+"""
+Device-resident batch recommendation.
+
+The TPU-native replacement for the reference's batch fan-out
+(reference: src/lenskit/batch/_runner.py:292-308 thread pool and
+batch/_ray.py Ray tasks): instead of running the pipeline once per query,
+embedding-family scorers expose a ``score_all_items`` batch method and the
+whole query batch is scored in one jitted program — a (B, k) × (k, n_items)
+MXU matmul, history masking via the device CSR, and a fused top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Protocol, runtime_checkable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lkpy_tpu.data import ItemList, ItemListCollection, MatrixRelationshipSet
+from lkpy_tpu.logging import Stopwatch, get_logger
+
+_log = get_logger(__name__)
+
+__all__ = ["BatchScorer", "device_recommend", "supports_device_batch"]
+
+
+@runtime_checkable
+class BatchScorer(Protocol):  # pragma: no cover - protocol
+    """Scorers that can score all items for a batch of users on device."""
+
+    def batch_score_arrays(self) -> dict:
+        """Return device arrays for batch scoring:
+        {"u_embed": (n_users, k), "i_embed": (n_items, k),
+         "u_bias": optional (n_users,), "i_bias": optional (n_items,),
+         "offset": optional scalar}."""
+        ...
+
+
+def supports_device_batch(scorer) -> bool:
+    try:
+        arrays = _extract_arrays(scorer)
+    except (AttributeError, TypeError):
+        return False
+    return arrays is not None
+
+
+def _extract_arrays(scorer) -> dict | None:
+    """Pull (user table, item table, biases) out of any embedding-family scorer."""
+    if hasattr(scorer, "batch_score_arrays"):
+        return scorer.batch_score_arrays()
+    # ALS / FunkSVD / LightGCN style
+    if hasattr(scorer, "user_embeddings") and hasattr(scorer, "item_embeddings"):
+        u = scorer.user_embeddings
+        i = scorer.item_embeddings
+        if u is None or i is None:
+            return None
+        out = {"u_embed": u, "i_embed": i}
+        bias = getattr(scorer, "bias", None)
+        if bias is not None and getattr(bias, "user_biases", None) is not None:
+            out["u_bias"] = bias.user_biases
+            out["i_bias"] = bias.item_biases
+            out["offset"] = bias.global_bias
+        return out
+    # FlexMF params dict
+    if hasattr(scorer, "params"):
+        p = scorer.params
+        out = {"u_embed": p["u_embed"], "i_embed": p["i_embed"]}
+        if "u_bias" in p:
+            out["u_bias"] = p["u_bias"]
+        if "i_bias" in p:
+            out["i_bias"] = p["i_bias"]
+        if hasattr(scorer, "score_offset"):
+            out["offset"] = scorer.score_offset()
+        return out
+    # SVD / NMF component style
+    if hasattr(scorer, "user_components") and hasattr(scorer, "item_components"):
+        out = {"u_embed": scorer.user_components, "i_embed": scorer.item_components.T}
+        bias = getattr(scorer, "bias", None)
+        if bias is not None and getattr(bias, "user_biases", None) is not None:
+            out["u_bias"] = bias.user_biases
+            out["i_bias"] = bias.item_biases
+            out["offset"] = bias.global_bias
+        return out
+    return None
+
+
+@partial(jax.jit, static_argnames=("n", "n_items"))
+def _batch_topn(
+    u_emb,  # (B, k)
+    i_emb,  # (n_items, k)
+    u_bias,  # (B,) or None
+    i_bias,  # (n_items,) or None
+    offset,  # scalar
+    hist_cols,  # (B, H) int32 padded history
+    hist_mask,  # (B, H) bool
+    n: int,
+    n_items: int,
+):
+    scores = jnp.dot(u_emb, i_emb.T, preferred_element_type=jnp.float32)  # (B, n_items)
+    if i_bias is not None:
+        scores = scores + i_bias[None, :]
+    if u_bias is not None:
+        scores = scores + u_bias[:, None]
+    scores = scores + offset
+    # mask training history: scatter -inf at rated positions
+    B = hist_cols.shape[0]
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, hist_cols.shape, 0)
+    tgt = jnp.where(hist_mask, hist_cols, n_items)
+    scores = scores.at[r_ids, tgt].set(-jnp.inf, mode="drop")
+    vals, idx = jax.lax.top_k(scores, n)
+    return vals, idx
+
+
+def try_device_recommend(pipeline, users, n: int | None) -> ItemListCollection | None:
+    """
+    Use the device batch path for a *standard* topn pipeline, if possible.
+
+    Conditions: the pipeline has 'scorer'/'ranker'/'history-lookup' nodes in
+    the standard shape, the candidate selector excludes only user history,
+    and the scorer is embedding-family.  Returns None when unsupported (the
+    caller falls back to per-query execution).
+    """
+    from lkpy_tpu.models.basic import TopNRanker, TrainingItemsCandidateSelector, UserTrainingHistoryLookup
+
+    try:
+        scorer = pipeline.node("scorer").component
+        ranker = pipeline.node("ranker").component
+        lookup = pipeline.node("history-lookup").component
+        cand = pipeline.node("candidate-selector").component
+    except (KeyError, AttributeError):
+        return None
+    if not isinstance(ranker, TopNRanker) or not isinstance(lookup, UserTrainingHistoryLookup):
+        return None
+    if not isinstance(cand, TrainingItemsCandidateSelector) or cand.config.exclude == "none":
+        return None
+    if lookup.interactions is None or not supports_device_batch(scorer):
+        return None
+    if n is None or n < 0:
+        n = ranker.config.n
+    if n is None or n < 0:
+        return None
+    return device_recommend(scorer, users, n, lookup.interactions)
+
+
+def device_recommend(
+    scorer,
+    user_ids,
+    n: int,
+    matrix: MatrixRelationshipSet,
+    *,
+    chunk: int = 1024,
+    key_field: str = "user_id",
+) -> ItemListCollection:
+    """
+    Batch top-N recommendation fully on device.
+
+    Args:
+        scorer: an embedding-family scorer (trained).
+        user_ids: user IDs to recommend for.
+        n: list length.
+        matrix: the training interaction matrix (for history exclusion and
+            user/item vocabularies).
+    """
+    arrays = _extract_arrays(scorer)
+    if arrays is None:
+        raise TypeError(f"{type(scorer).__name__} does not support device batch scoring")
+    sw = Stopwatch()
+    users_vocab = matrix.row_vocabulary
+    items_vocab = matrix.col_vocabulary
+    n_items = len(items_vocab)
+    csr = matrix.csr(None)
+
+    i_emb = jnp.asarray(arrays["i_embed"], dtype=jnp.float32)
+    u_table = np.asarray(arrays["u_embed"], dtype=np.float32)
+    u_bias_t = arrays.get("u_bias")
+    i_bias = arrays.get("i_bias")
+    i_bias_j = None if i_bias is None else jnp.asarray(i_bias, dtype=jnp.float32)
+    offset = jnp.float32(arrays.get("offset", 0.0))
+
+    user_ids = np.asarray(user_ids)
+    nums = users_vocab.numbers(user_ids, missing="negative")
+    ilc = ItemListCollection([key_field])
+
+    # fold-in path: recompute user embeddings from history on device
+    # (matches the reference's default user_embeddings=True behavior,
+    # als/_common.py:133-147); "prefer" uses the trained table directly.
+    use_fold = (
+        hasattr(scorer, "device_fold_in")
+        and getattr(getattr(scorer, "config", None), "user_embeddings", None) != "prefer"
+    )
+
+    lens = csr.row_lengths()
+    for lo in range(0, len(user_ids), chunk):
+        hi = min(lo + chunk, len(user_ids))
+        cn = nums[lo:hi]
+        known = cn >= 0
+        safe = np.where(known, cn, 0)
+        B = hi - lo
+        # pad histories for the chunk (power-of-two width to bound recompiles)
+        from lkpy_tpu.ops.sparse import pad_rows, round_up
+
+        H = round_up(max(int(lens[safe].max()) if len(safe) else 1, 1), 64)
+        p = pad_rows(csr, width=H, rows=safe.astype(np.int32), field="rating")
+        hist_cols = np.asarray(p.cols)
+        hist_mask = np.asarray(p.mask) & known[:, None]
+        if use_fold:
+            u_emb, ub = scorer.device_fold_in(
+                jnp.asarray(hist_cols), None if p.values is None else p.values, jnp.asarray(hist_mask)
+            )
+            u_bias_j = ub
+        else:
+            u_emb = jnp.asarray(u_table[safe])
+            u_bias_j = None if u_bias_t is None else jnp.asarray(np.asarray(u_bias_t)[safe], dtype=jnp.float32)
+        vals, idx = _batch_topn(
+            u_emb, i_emb, u_bias_j, i_bias_j, offset, jnp.asarray(hist_cols), jnp.asarray(hist_mask), n, n_items
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        for b in range(B):
+            uid = user_ids[lo + b]
+            if not known[b]:
+                ilc.add(ItemList(), uid)
+                continue
+            good = np.isfinite(vals[b])
+            k = int(good.sum())
+            il = ItemList(
+                item_nums=idx[b, :k],
+                vocabulary=items_vocab,
+                scores=vals[b, :k],
+                ordered=True,
+                rank=np.arange(1, k + 1, dtype=np.int32),
+            )
+            ilc.add(il, uid)
+    sw.stop()
+    _log.info(
+        "device batch recommend",
+        users=len(user_ids),
+        time=str(sw),
+        us_per_query=round(sw.elapsed() * 1e6 / max(len(user_ids), 1), 1),
+    )
+    return ilc

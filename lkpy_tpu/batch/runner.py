@@ -96,9 +96,10 @@ class BatchPipelineRunner:
         return out
 
     # ---- running ----------------------------------------------------------
-    def run(self, pipeline: Pipeline, queries) -> "BatchResults":
+    def run(self, pipeline: Pipeline, queries, *, profile=None) -> "BatchResults":
         from lkpy_tpu.batch.results import BatchResults
 
+        self._profiler = profile
         norm = self._normalize_queries(queries)
         key_fields = queries.key_fields if isinstance(queries, ItemListCollection) else ("user_id",)
         results = BatchResults(tuple(key_fields))
@@ -146,7 +147,7 @@ class BatchPipelineRunner:
             if items is not None and inv.name in ("predict", "score"):
                 kwargs["items"] = items
             nodes = list(inv.components.values())
-            state = pipeline.run_all(*nodes, **kwargs)
+            state = pipeline.run_all(*nodes, _profile=getattr(self, "_profiler", None), **kwargs)
             for oname, node in inv.components.items():
                 outs[oname] = state[pipeline.node(node).name]
         return outs

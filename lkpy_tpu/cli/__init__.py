@@ -30,14 +30,18 @@ def cli(verbose: int):
 from lkpy_tpu.cli.data import data  # noqa: E402
 from lkpy_tpu.cli.doctor import doctor  # noqa: E402
 from lkpy_tpu.cli.pipeline_cmd import pipeline  # noqa: E402
+from lkpy_tpu.cli.profile_cmd import profile  # noqa: E402
 from lkpy_tpu.cli.recommend import recommend  # noqa: E402
+from lkpy_tpu.cli.task import task  # noqa: E402
 from lkpy_tpu.cli.train import train  # noqa: E402
 from lkpy_tpu.cli.tune import tune  # noqa: E402
 
 cli.add_command(data)
 cli.add_command(doctor)
 cli.add_command(pipeline)
+cli.add_command(profile)
 cli.add_command(recommend)
+cli.add_command(task)
 cli.add_command(train)
 cli.add_command(tune)
 

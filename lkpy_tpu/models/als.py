@@ -124,6 +124,21 @@ class ALSBase(UsesTrainer, Component):
     def finalize_scores(self, user_num, items: ItemList, user_bias: float | None) -> ItemList:
         return items
 
+    def device_fold_in(self, cols, vals, mask):
+        """
+        Batched fold-in user embeddings for device batch scoring
+        (the vectorized form of ``new_user_embedding``).
+
+        Args:
+            cols: (B, H) int32 padded history item numbers.
+            vals: (B, H) f32 ratings (may be None for implicit data).
+            mask: (B, H) bool validity.
+
+        Returns:
+            (user embeddings (B, k), per-user bias offsets (B,)).
+        """
+        raise NotImplementedError
+
     # ---- parameter container (reference: state/_container.py:14) ---------
     def get_parameters(self) -> dict[str, object]:
         return {
@@ -241,6 +256,24 @@ class BiasedMFScorer(ALSBase):
         biases = self.bias.compute_for_items(items, bias=user_bias)
         return ItemList(items, scores=scores + biases)
 
+    def device_fold_in(self, cols, vals, mask):
+        import jax.numpy as jnp
+
+        if vals is None:
+            raise ValueError("explicit ALS fold-in requires ratings")
+        from lkpy_tpu.models.bias import entity_damping
+
+        i_emb = jnp.asarray(self.item_embeddings)
+        ib = jnp.asarray(self.bias.item_biases)
+        m = mask.astype(jnp.float32)
+        resid = (vals - self.bias.global_bias - ib[cols]) * m
+        damping = entity_damping(self.bias.damping, "user")
+        n_u = jnp.sum(m, axis=1)
+        ub = jnp.sum(resid, axis=1) / (n_u + damping)
+        resid = (resid - ub[:, None]) * m
+        u = als_ops.solve_explicit_bucket(cols, resid, mask, i_emb, jnp.float32(self.config.user_reg))
+        return u, ub
+
 
 class BiasedMFTrainer(ALSTrainerBase):
     mode = "explicit"
@@ -289,6 +322,20 @@ class ImplicitMFScorer(ALSBase):
             inums[good], conf.astype(np.float32), self.item_embeddings, self._OtOr
         )
         return u_feat, None
+
+    def device_fold_in(self, cols, vals, mask):
+        import jax.numpy as jnp
+
+        i_emb = jnp.asarray(self.item_embeddings)
+        m = mask.astype(jnp.float32)
+        if self.config.use_ratings:
+            if vals is None:
+                raise ValueError("use_ratings=True requires rating values")
+            conf = vals * self.config.weight * m
+        else:
+            conf = jnp.full(cols.shape, self.config.weight, dtype=jnp.float32) * m
+        u = als_ops.solve_implicit_bucket(cols, conf, mask, i_emb, jnp.asarray(self._OtOr))
+        return u, jnp.zeros(cols.shape[0], dtype=jnp.float32)
 
 
 class ImplicitMFTrainer(ALSTrainerBase):

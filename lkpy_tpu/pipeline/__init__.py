@@ -6,6 +6,9 @@ Capability parity with reference ``lenskit.pipeline``
 """
 
 from lkpy_tpu.pipeline.builder import PipelineBuilder
+from lkpy_tpu.pipeline.cache import PipelineCache
+from lkpy_tpu.pipeline.diagram import pipeline_diagram
+from lkpy_tpu.pipeline.profiling import PipelineProfiler, summarize_profile
 from lkpy_tpu.pipeline.common import RecPipelineBuilder, predict_pipeline, topn_pipeline
 from lkpy_tpu.pipeline.components import Component, component_inputs, component_return_type
 from lkpy_tpu.pipeline.config import PipelineConfig, hash_config
@@ -21,7 +24,11 @@ __all__ = [
     "Node",
     "Pipeline",
     "PipelineBuilder",
+    "PipelineCache",
     "PipelineConfig",
+    "PipelineProfiler",
+    "pipeline_diagram",
+    "summarize_profile",
     "PipelineState",
     "RecPipelineBuilder",
     "component_inputs",

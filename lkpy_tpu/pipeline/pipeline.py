@@ -218,9 +218,12 @@ class Pipeline:
             raise PipelineError("no node specified and pipeline has no default")
         return state[dflt]
 
-    def run_all(self, *nodes: str | Node, **kwargs) -> PipelineState:
-        """Run and return state for all executed nodes (reference: _impl.py:453)."""
-        runner = _Runner(self, kwargs)
+    def run_all(self, *nodes: str | Node, _profile=None, **kwargs) -> PipelineState:
+        """Run and return state for all executed nodes (reference: _impl.py:453).
+
+        ``_profile``: a :class:`~lkpy_tpu.pipeline.profiling.PipelineProfiler`
+        to record per-component wall times for this run."""
+        runner = _Runner(self, kwargs, profiler=_profile)
         targets = list(nodes)
         if not targets:
             dflt = self.default_node_name
@@ -231,17 +234,21 @@ class Pipeline:
         for t in targets:
             node = self.node(t)
             runner.run(node)
+        if _profile is not None and runner.timings:
+            _profile.record(runner.timings)
         return PipelineState(runner.state)
 
 
 class _Runner:
     """Recursive DFS executor (reference: pipeline/_runner.py:36,64)."""
 
-    def __init__(self, pipe: Pipeline, inputs: dict[str, Any]):
+    def __init__(self, pipe: Pipeline, inputs: dict[str, Any], *, profiler=None):
         self.pipe = pipe
         self.inputs = inputs
         self.state: dict[str, Any] = {}
         self.in_progress: set[str] = set()
+        self.profiler = profiler
+        self.timings: dict[str, float] = {}
 
     def run(self, node: Node, *, required: bool = True) -> Any:
         if node.name in self.state:
@@ -300,4 +307,11 @@ class _Runner:
                 if res is not None:
                     value = res
             kwargs[iname] = value
+        if self.profiler is not None:
+            import time
+
+            t0 = time.perf_counter()
+            result = comp(**kwargs)
+            self.timings[node.name] = time.perf_counter() - t0
+            return result
         return comp(**kwargs)

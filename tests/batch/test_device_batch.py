@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+from lkpy_tpu import batch, topn_pipeline
+from lkpy_tpu.batch.device import device_recommend, supports_device_batch, try_device_recommend
+from lkpy_tpu.models.als import ImplicitMFScorer
+from lkpy_tpu.models.knn import ItemKNNScorer
+from lkpy_tpu.training import TrainingOptions
+
+
+@pytest.fixture(scope="module")
+def mf_pipe(ml_ds):
+    pipe = topn_pipeline(ImplicitMFScorer(features=16, epochs=3), n=10)
+    pipe.train(ml_ds, TrainingOptions(rng=42))
+    return pipe
+
+
+def test_supports(mf_pipe):
+    scorer = mf_pipe.node("scorer").component
+    assert supports_device_batch(scorer)
+    assert not supports_device_batch(ItemKNNScorer())
+
+
+def test_device_matches_per_query(mf_pipe, ml_ds):
+    users = ml_ds.users.ids[:30]
+    fast = batch.recommend(mf_pipe, users, n=10)  # device path
+    slow = batch.recommend(mf_pipe, users, n=10, device=False)
+    assert len(fast) == len(slow) == 30
+    for key, il in slow.items():
+        fil = fast.lookup_projected(key)
+        # same item sets in the same order (modulo fp ties)
+        overlap = np.isin(fil.ids()[:10], il.ids()[:10]).mean()
+        assert overlap >= 0.9, f"user {key}: {fil.ids()} vs {il.ids()}"
+
+
+def test_device_excludes_history(mf_pipe, ml_ds):
+    users = ml_ds.users.ids[:20]
+    recs = batch.recommend(mf_pipe, users, n=10)
+    for key, il in recs.items():
+        hist = ml_ds.user_row(key.user_id)
+        assert not np.isin(il.ids(), hist.ids()).any()
+
+
+def test_device_unknown_user(mf_pipe):
+    recs = batch.recommend(mf_pipe, [999999999], n=5)
+    il = recs.lookup(999999999)
+    assert il is not None and len(il) == 0
+
+
+def test_nonstandard_pipeline_falls_back(ml_ds):
+    pipe = topn_pipeline(ItemKNNScorer(), n=10)
+    pipe.train(ml_ds, TrainingOptions(rng=42))
+    assert try_device_recommend(pipe, ml_ds.users.ids[:3], 10) is None
+    recs = batch.recommend(pipe, ml_ds.users.ids[:3], n=10)
+    assert len(recs) == 3
