@@ -136,6 +136,38 @@ class RelationshipSet:
             raise DataError(f"relationship {self.name!r} has {len(self.entities)} entities; matrix needs 2")
         return MatrixRelationshipSet(self._ds, self.name, self.schema, self._table, combine=combine)
 
+    def co_occurrences(
+        self, entity: str = "item", *, include_self: bool = False, dense: bool = False
+    ):
+        """
+        Co-occurrence counts of ``entity`` values over the other entity's
+        groups (reference: _relationships.py:144-163) — e.g. item×item
+        counts of users who interacted with both.
+
+        Returns a scipy COO array, or a dense NumPy matrix with
+        ``dense=True``.
+        """
+        m = self.matrix()
+        if entity == m.col_entity:
+            sp = m.scipy(None)
+        elif entity == m.row_entity:
+            sp = m.scipy(None).T.tocsr()
+        else:
+            raise KeyError(f"relationship has no entity {entity!r}")
+        sp = sp.astype(np.float32)
+        sp.data[:] = 1.0
+        cooc = (sp.T @ sp).tocoo()
+        if not include_self:
+            keep = cooc.row != cooc.col
+            import scipy.sparse as _sps
+
+            cooc = _sps.coo_array(
+                (cooc.data[keep], (cooc.row[keep], cooc.col[keep])), shape=cooc.shape
+            )
+        if dense:
+            return np.asarray(cooc.todense())
+        return cooc
+
     def item_lists(self):
         return self.matrix().item_lists()
 

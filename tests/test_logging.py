@@ -1,0 +1,71 @@
+import logging
+import time
+
+import pytest
+
+from lkpy_tpu.logging import LoggingConfig, Stopwatch, Task, get_logger, trace, activate_tracing
+from lkpy_tpu.logging.multiprocess import Monitor, WorkerContext, shutdown_monitor
+
+
+def test_kv_logger(caplog):
+    log = get_logger("test.kv").bind(run=1)
+    with caplog.at_level(logging.INFO):
+        log.info("something happened", items=5)
+    assert "something happened" in caplog.text
+    assert "items=5" in caplog.text
+    assert "run=1" in caplog.text
+
+
+def test_stopwatch():
+    sw = Stopwatch()
+    time.sleep(0.01)
+    sw.stop()
+    assert 0.005 < sw.elapsed() < 1.0
+    assert "ms" in str(sw) or "s" in str(sw)
+
+
+def test_task_tracking(tmp_path):
+    with Task("outer") as outer:
+        with Task("inner") as inner:
+            time.sleep(0.01)
+    assert outer.status == "finished"
+    assert outer.duration > 0
+    assert len(outer.subtasks) == 1
+    assert outer.subtasks[0].label == "inner"
+    f = tmp_path / "task.json"
+    outer.save(f)
+    loaded = Task.load(f)
+    assert loaded.label == "outer"
+    assert loaded.subtasks[0].label == "inner"
+
+
+def test_monitor_roundtrip(caplog):
+    mon = Monitor()
+    try:
+        worker = WorkerContext(mon.address, mon.auth_key)
+        with caplog.at_level(logging.INFO):
+            worker.send_log("test.worker", logging.INFO, "hello from worker")
+            time.sleep(0.5)
+        assert "hello from worker" in caplog.text
+
+        # record sink
+        records = []
+
+        class Sink:
+            def record(self, data):
+                records.append(data)
+
+        mon.add_record_sink(Sink())
+        worker.send_record({"stage": 0.5})
+        time.sleep(0.5)
+        assert records == [{"stage": 0.5}]
+
+        # unauthenticated messages are dropped
+        bad = WorkerContext(mon.address, b"wrong-key-000000")
+        bad.send_record({"evil": 1})
+        time.sleep(0.3)
+        assert all("evil" not in r for r in records)
+        worker.close()
+        bad.close()
+    finally:
+        mon.shutdown()
