@@ -97,18 +97,27 @@ class CSR:
         shape: tuple[int, int],
         fields: dict | None = None,
     ) -> "CSR":
-        """Build CSR from COO triples, sorting by (row, col)."""
+        """Build CSR from COO triples, sorting by (row, col).
+
+        Uses the native counting-sort assembler (lkpy_tpu._native, the C++
+        analog of src/accel/sparse/consumer.rs) when available."""
         row = np.asarray(row, dtype=np.int64)
         col = np.asarray(col, dtype=np.int64)
-        order = np.lexsort((col, row))
-        row = row[order]
-        col = col[order]
+        from lkpy_tpu import _native
+
+        nat = _native.coo_to_csr(row, col, shape[0], shape[1])
+        if nat is not None:
+            rowptr, colind, order = nat
+        else:
+            order = np.lexsort((col, row))
+            srow = row[order]
+            colind = col[order].astype(np.int32)
+            counts = np.bincount(srow, minlength=shape[0])
+            rowptr = np.zeros(shape[0] + 1, dtype=np.int64)
+            np.cumsum(counts, out=rowptr[1:])
         vals = None if values is None else np.asarray(values, dtype=np.float32)[order]
         flds = {n: np.asarray(v)[order] for n, v in (fields or {}).items()}
-        counts = np.bincount(row, minlength=shape[0])
-        rowptr = np.zeros(shape[0] + 1, dtype=np.int64)
-        np.cumsum(counts, out=rowptr[1:])
-        return cls(rowptr, col.astype(np.int32), vals, shape, flds)
+        return cls(rowptr, colind, vals, shape, flds)
 
     @classmethod
     def from_scipy(cls, mat: sps.spmatrix) -> "CSR":
@@ -129,6 +138,14 @@ class CSR:
 
     def transpose(self) -> "CSR":
         """CSC-style transpose (reference: src/accel/data/transpose.rs:21)."""
+        from lkpy_tpu import _native
+
+        nat = _native.transpose_csr(self.rowptr, self.colind, self.nrows, self.ncols)
+        if nat is not None:
+            rowptr, colind, perm = nat
+            vals = None if self.values is None else self.values[perm]
+            flds = {n: v[perm] for n, v in self.fields.items()}
+            return CSR(rowptr, colind, vals, (self.ncols, self.nrows), flds)
         rows = np.repeat(np.arange(self.nrows, dtype=np.int64), self.row_lengths())
         return CSR.from_coo(
             self.colind.astype(np.int64),

@@ -120,6 +120,21 @@ class Vocabulary:
             raise KeyError(f"ID {key!r} not in vocabulary {self.name!r}")
         return n
 
+    def _native_index(self):
+        """Lazily-built native hash index for int64 IDs
+        (C++ analog of the reference's Rust IDIndex, src/accel/data/index.rs)."""
+        if not hasattr(self, "_nat_idx"):
+            self._nat_idx = None
+            if self._ids.dtype.kind in "iu" and len(self._ids) >= 4096:
+                from lkpy_tpu import _native
+
+                if _native.available():
+                    try:
+                        self._nat_idx = _native.IdIndex(self._ids.astype(np.int64))
+                    except (RuntimeError, OverflowError):
+                        self._nat_idx = None
+        return self._nat_idx
+
     def numbers(self, keys, missing: Literal["error", "negative"] = "error") -> np.ndarray:
         """
         Vectorized ID → number lookup.
@@ -130,6 +145,8 @@ class Vocabulary:
         arr = _as_id_array(keys)
         if self._sorted_ids.size == 0:
             nums = np.full(arr.shape, -1, dtype=np.int32)
+        elif arr.dtype.kind in "iu" and self._native_index() is not None:
+            nums = self._nat_idx.lookup(arr.astype(np.int64))
         else:
             try:
                 pos = np.searchsorted(self._sorted_ids, arr)
