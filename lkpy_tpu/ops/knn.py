@@ -77,15 +77,12 @@ def normalize_item_matrix(iu_csr: CSR, *, explicit: bool) -> tuple[CSR, np.ndarr
     vals = vals.astype(np.float64)
     means = None
     if explicit:
-        sums = np.zeros(iu_csr.nrows)
-        np.add.at(sums, rows, vals)
+        sums = np.bincount(rows, weights=vals, minlength=iu_csr.nrows)
         means = np.zeros(iu_csr.nrows, dtype=np.float32)
         np.divide(sums, lens, out=means, where=lens > 0)
         means = means.astype(np.float32)
         vals = vals - means[rows]
-    norms = np.zeros(iu_csr.nrows)
-    np.add.at(norms, rows, vals * vals)
-    norms = np.sqrt(norms)
+    norms = np.sqrt(np.bincount(rows, weights=vals * vals, minlength=iu_csr.nrows))
     vals = vals / np.maximum(norms, np.finfo(np.float32).smallest_normal)[rows]
     return iu_csr.with_values(vals.astype(np.float32)), means
 
