@@ -44,10 +44,10 @@ def synth_dataset(rng: np.random.Generator):
     """Synthetic interactions with MovieLens-like popularity skew."""
     from lkpy_tpu.data.matrix import CSR
 
-    # zipf-ish item popularity
+    # zipf-ish item popularity via inverse-CDF (vectorized, fast)
     item_w = 1.0 / np.arange(1, N_ITEMS + 1) ** 0.8
-    item_w /= item_w.sum()
-    items = rng.choice(N_ITEMS, size=NNZ, p=item_w).astype(np.int64)
+    cdf = np.cumsum(item_w / item_w.sum())
+    items = np.searchsorted(cdf, rng.random(NNZ)).astype(np.int64)
     users = rng.integers(0, N_USERS, size=NNZ).astype(np.int64)
     # dedupe (user, item)
     key = users * N_ITEMS + items

@@ -351,6 +351,17 @@ class MatrixRelationshipSet(RelationshipSet):
         rng = rng if rng is not None else np.random.default_rng()
         rows = np.asarray(rows, dtype=np.int64)
         shape = (len(rows), n)
+        if weighting == "uniform" and verify:
+            # native fast path (C++ analog of src/accel/data/sampling.rs)
+            from lkpy_tpu import _native
+
+            if _native.available():
+                seed = int(rng.integers(0, 2**63 - 1))
+                out = _native.sample_negatives(
+                    self._csr.rowptr, self._csr.colind, rows, n, self.n_cols, seed, max_attempts
+                )
+                if out is not None:
+                    return out if n > 1 else out[:, 0]
         if weighting == "popularity":
             # sample by interaction popularity: draw random nnz entry
             draw = lambda size: self._csr.colind[rng.integers(0, self._csr.nnz, size=size)].astype(np.int32)

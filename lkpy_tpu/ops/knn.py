@@ -98,23 +98,20 @@ def _tile_topk(acc: jax.Array, row_ids: jax.Array, min_sim: jax.Array, k: int):
     return sims, idx.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("out_cols",))
-def _densify_rows(cols: jax.Array, vals: jax.Array, mask: jax.Array, width: int | jax.Array, out_cols: int):
-    """Scatter padded rows (B,P) into a dense (B, out_cols) block."""
-    B = cols.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
-    dense = jnp.zeros((B, out_cols), dtype=vals.dtype)
-    safe_cols = jnp.where(mask, cols, out_cols)  # OOB drops via mode="drop"
-    return dense.at[rows, safe_cols].add(jnp.where(mask, vals, 0.0), mode="drop")
+def _host_densify(csr: CSR, lo: int, hi: int) -> np.ndarray:
+    """Densify CSR rows [lo, hi) on the host via flat scatter (O(nnz))."""
+    s, e = int(csr.rowptr[lo]), int(csr.rowptr[hi])
+    lens = (csr.rowptr[lo + 1 : hi + 1] - csr.rowptr[lo:hi]).astype(np.int64)
+    rel_rows = np.repeat(np.arange(hi - lo, dtype=np.int64), lens)
+    dense = np.zeros((hi - lo, csr.ncols), dtype=np.float32)
+    vals = csr.values[s:e] if csr.values is not None else 1.0
+    dense[rel_rows, csr.colind[s:e]] = vals
+    return dense
 
 
-def _dense_block(csr: CSR, lo: int, hi: int, n_cols: int) -> jax.Array:
-    """Densify CSR rows [lo, hi) to a (hi-lo, n_cols) device array."""
-    from lkpy_tpu.ops.sparse import pad_rows
-
-    p = pad_rows(csr, rows=np.arange(lo, hi, dtype=np.int32), field="rating")
-    vals = p.values if p.values is not None else p.mask.astype(jnp.float32)
-    return _densify_rows(p.cols, vals, p.mask, p.width, n_cols)
+@partial(jax.jit, donate_argnums=(0,))
+def _gram_accum(S: jax.Array, U: jax.Array) -> jax.Array:
+    return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
 
 
 def similarity_topk(
@@ -122,15 +119,19 @@ def similarity_topk(
     k: int,
     min_sim: float = 1.0e-6,
     *,
-    tile: int = 1024,
-    max_dense_bytes: int = 2 << 30,
+    tile: int = 2048,
+    max_dense_bytes: int = 4 << 30,
 ) -> NeighborTable:
     """
     Top-K thresholded cosine similarity (reference: item_train.rs:95).
 
-    ``iu_csr`` must already be normalized.  Streams item tiles: each tile
-    densifies its rows, multiplies against the full (or chunked) dense item
-    matrix on the MXU, then thresholds + top-k truncates.
+    ``iu_csr`` must already be normalized (items × users).  Two device paths:
+
+    - small matrices: densify A once, tiled ``T @ Aᵀ`` + top-k;
+    - large matrices (ML-20M+): accumulate the full Gram ``S = Σ UᵀU`` over
+      dense *user* chunks (each an MXU matmul), then tiled threshold+top-k.
+      S is n_items² f32 — fine through ~50k items on one chip; beyond that,
+      shard items over the mesh (lkpy_tpu.parallel).
     """
     n_items, n_users = iu_csr.shape
     k = min(k, max(n_items - 1, 1))
@@ -141,28 +142,28 @@ def similarity_topk(
 
     dense_bytes = n_items * n_users * 4
     if dense_bytes <= max_dense_bytes:
-        A = _dense_block(iu_csr, 0, n_items, n_users)  # (n_items, n_users)
+        A = jnp.asarray(_host_densify(iu_csr, 0, n_items))  # (n_items, n_users)
         for lo in range(0, n_items, tile):
             hi = min(lo + tile, n_items)
-            T = A[lo:hi]
-            acc = jnp.dot(T, A.T, preferred_element_type=jnp.float32)
+            acc = jnp.dot(A[lo:hi], A.T, preferred_element_type=jnp.float32)
             sims, idx = _tile_topk(acc, jnp.arange(lo, hi, dtype=jnp.int32), min_sim_j, k)
             out_sim[lo:hi] = np.asarray(sims)
             out_idx[lo:hi] = np.asarray(idx)
     else:
-        # chunk the user axis: accumulate S_tile over user chunks
+        # Gram accumulation over user chunks (ALX-style two-pass)
         user_chunk = max(max_dense_bytes // (n_items * 4), 1024)
-        ui_csr = iu_csr.transpose()  # user-major for user chunking
+        # round user chunks to a fixed size so the matmul compiles once
+        ui_csr = iu_csr.transpose()  # user-major
+        S = jnp.zeros((n_items, n_items), dtype=jnp.float32)
+        for ulo in range(0, n_users, user_chunk):
+            uhi = min(ulo + user_chunk, n_users)
+            U = _host_densify(ui_csr, ulo, uhi)  # (Uc, n_items)
+            if uhi - ulo < user_chunk:  # pad final chunk to keep shapes static
+                U = np.pad(U, ((0, user_chunk - (uhi - ulo)), (0, 0)))
+            S = _gram_accum(S, jnp.asarray(U))
         for lo in range(0, n_items, tile):
             hi = min(lo + tile, n_items)
-            acc = jnp.zeros((hi - lo, n_items), dtype=jnp.float32)
-            for ulo in range(0, n_users, user_chunk):
-                uhi = min(ulo + user_chunk, n_users)
-                # chunk columns of the item matrix = rows of user matrix
-                U = _dense_block(ui_csr, ulo, uhi, n_items)  # (Uc, n_items)
-                T = U.T[lo:hi]  # (T, Uc)
-                acc = acc + jnp.dot(T, U, preferred_element_type=jnp.float32)
-            sims, idx = _tile_topk(acc, jnp.arange(lo, hi, dtype=jnp.int32), min_sim_j, k)
+            sims, idx = _tile_topk(S[lo:hi], jnp.arange(lo, hi, dtype=jnp.int32), min_sim_j, k)
             out_sim[lo:hi] = np.asarray(sims)
             out_idx[lo:hi] = np.asarray(idx)
 
