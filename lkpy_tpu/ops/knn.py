@@ -98,6 +98,35 @@ def _tile_topk(acc: jax.Array, row_ids: jax.Array, min_sim: jax.Array, k: int):
     return sims, idx.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "tile"))
+def _tile_topk_at(S: jax.Array, start: jax.Array, min_sim: jax.Array, k: int, tile: int):
+    """Threshold + top-k for the tile starting at traced row ``start``.
+
+    The offset is a traced scalar so ONE compiled program serves every tile
+    (baking offsets as constants makes XLA emit a program per tile, which is
+    ruinous when compiles go through a remote-compile tunnel)."""
+    block = jax.lax.dynamic_slice_in_dim(S, start, tile, axis=0)
+    row_ids = start.astype(jnp.int32) + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+    self_mask = cols == row_ids[:, None]
+    block = jnp.where(self_mask | (block < min_sim), 0.0, block)
+    sims, idx = jax.lax.top_k(block, k)
+    return sims, idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def _matmul_topk_at(A: jax.Array, start: jax.Array, min_sim: jax.Array, k: int, tile: int):
+    """Dense-path tile: scores = A[start:start+tile] @ Aᵀ, threshold + top-k."""
+    T = jax.lax.dynamic_slice_in_dim(A, start, tile, axis=0)
+    acc = jnp.dot(T, A.T, preferred_element_type=jnp.float32)
+    row_ids = start.astype(jnp.int32) + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    self_mask = cols == row_ids[:, None]
+    acc = jnp.where(self_mask | (acc < min_sim), 0.0, acc)
+    sims, idx = jax.lax.top_k(acc, k)
+    return sims, idx.astype(jnp.int32)
+
+
 def _host_densify(csr: CSR, lo: int, hi: int) -> np.ndarray:
     """Densify CSR rows [lo, hi) on the host via flat scatter (O(nnz))."""
     s, e = int(csr.rowptr[lo]), int(csr.rowptr[hi])
@@ -109,8 +138,19 @@ def _host_densify(csr: CSR, lo: int, hi: int) -> np.ndarray:
     return dense
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _gram_accum(S: jax.Array, U: jax.Array) -> jax.Array:
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n_rows", "n_cols"))
+def _gram_accum_sparse(
+    S: jax.Array,
+    rel_rows: jax.Array,  # (nnz_pad,) int32, OOB = padding
+    cols: jax.Array,  # (nnz_pad,) int32
+    vals: jax.Array,  # (nnz_pad,) f32
+    n_rows: int,
+    n_cols: int,
+) -> jax.Array:
+    """Accumulate S += UᵀU where U is given sparsely and densified on device
+    (host→device traffic is O(nnz), not O(dense))."""
+    U = jnp.zeros((n_rows, n_cols), dtype=jnp.float32)
+    U = U.at[rel_rows, cols].set(vals, mode="drop")
     return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
 
 
@@ -140,32 +180,48 @@ def similarity_topk(
     out_idx = np.empty((n_items, k), dtype=np.int32)
     out_sim = np.empty((n_items, k), dtype=np.float32)
 
+    tile = min(tile, n_items)
+
+    def run_tiles(fn, *args):
+        """Iterate tiles with a traced start offset (single compiled program);
+        the final tile overlaps backward to keep the shape static.  Each tile
+        syncs via the host copy — deliberate: some remote backends misbehave
+        with many queued large programs."""
+        for lo in range(0, n_items, tile):
+            start = min(lo, n_items - tile)
+            sims, idx = fn(*args, jnp.int32(start), min_sim_j, k, tile)
+            off = lo - start
+            out_sim[lo : start + tile] = np.asarray(sims)[off:]
+            out_idx[lo : start + tile] = np.asarray(idx)[off:]
+
     dense_bytes = n_items * n_users * 4
     if dense_bytes <= max_dense_bytes:
         A = jnp.asarray(_host_densify(iu_csr, 0, n_items))  # (n_items, n_users)
-        for lo in range(0, n_items, tile):
-            hi = min(lo + tile, n_items)
-            acc = jnp.dot(A[lo:hi], A.T, preferred_element_type=jnp.float32)
-            sims, idx = _tile_topk(acc, jnp.arange(lo, hi, dtype=jnp.int32), min_sim_j, k)
-            out_sim[lo:hi] = np.asarray(sims)
-            out_idx[lo:hi] = np.asarray(idx)
+        run_tiles(lambda A, s, m, k, t: _matmul_topk_at(A, s, m, k=k, tile=t), A)
     else:
-        # Gram accumulation over user chunks (ALX-style two-pass)
+        # Gram accumulation over user chunks (ALX-style two-pass); sparse
+        # chunks are densified ON DEVICE so host→device traffic is O(nnz)
         user_chunk = max(max_dense_bytes // (n_items * 4), 1024)
-        # round user chunks to a fixed size so the matmul compiles once
         ui_csr = iu_csr.transpose()  # user-major
         S = jnp.zeros((n_items, n_items), dtype=jnp.float32)
+        chunks = []
         for ulo in range(0, n_users, user_chunk):
             uhi = min(ulo + user_chunk, n_users)
-            U = _host_densify(ui_csr, ulo, uhi)  # (Uc, n_items)
-            if uhi - ulo < user_chunk:  # pad final chunk to keep shapes static
-                U = np.pad(U, ((0, user_chunk - (uhi - ulo)), (0, 0)))
-            S = _gram_accum(S, jnp.asarray(U))
-        for lo in range(0, n_items, tile):
-            hi = min(lo + tile, n_items)
-            sims, idx = _tile_topk(S[lo:hi], jnp.arange(lo, hi, dtype=jnp.int32), min_sim_j, k)
-            out_sim[lo:hi] = np.asarray(sims)
-            out_idx[lo:hi] = np.asarray(idx)
+            s, e = int(ui_csr.rowptr[ulo]), int(ui_csr.rowptr[uhi])
+            lens = (ui_csr.rowptr[ulo + 1 : uhi + 1] - ui_csr.rowptr[ulo:uhi]).astype(np.int64)
+            rel = np.repeat(np.arange(uhi - ulo, dtype=np.int32), lens)
+            chunks.append((rel, ui_csr.colind[s:e], ui_csr.values[s:e] if ui_csr.values is not None else np.ones(e - s, np.float32)))
+        nnz_pad = max(_pad_pow2(max(len(c[0]) for c in chunks)), 8)
+        for rel, cc, vv in chunks:
+            pad = nnz_pad - len(rel)
+            rel = np.pad(rel, (0, pad), constant_values=user_chunk)  # OOB row -> dropped
+            cc = np.pad(cc, (0, pad))
+            vv = np.pad(vv, (0, pad))
+            S = _gram_accum_sparse(
+                S, jnp.asarray(rel), jnp.asarray(cc), jnp.asarray(vv.astype(np.float32)), user_chunk, n_items
+            )
+            jax.block_until_ready(S)  # keep the remote queue shallow (donated 2.9GB buffer)
+        run_tiles(lambda S, s, m, k, t: _tile_topk_at(S, s, m, k=k, tile=t), S)
 
     return NeighborTable(out_idx, out_sim)
 
