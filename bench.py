@@ -61,6 +61,11 @@ def synth_dataset(rng: np.random.Generator):
 def main():
     t0 = time.time()
     import jax
+
+    # persistent compilation cache: remote-tunnel compiles are expensive
+    # (seconds to minutes per program); cache them across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from lkpy_tpu.ops.als import als_half_epoch
