@@ -27,6 +27,7 @@ def cli(verbose: int):
     lc.apply()
 
 
+from lkpy_tpu.cli.config_cmd import config  # noqa: E402
 from lkpy_tpu.cli.data import data  # noqa: E402
 from lkpy_tpu.cli.doctor import doctor  # noqa: E402
 from lkpy_tpu.cli.pipeline_cmd import pipeline  # noqa: E402
@@ -36,6 +37,7 @@ from lkpy_tpu.cli.task import task  # noqa: E402
 from lkpy_tpu.cli.train import train  # noqa: E402
 from lkpy_tpu.cli.tune import tune  # noqa: E402
 
+cli.add_command(config)
 cli.add_command(data)
 cli.add_command(doctor)
 cli.add_command(pipeline)
