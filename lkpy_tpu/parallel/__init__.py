@@ -13,6 +13,13 @@ fan-out src/lenskit/batch/_ray.py, ZMQ log relay):
   sharded embedding lookup).
 """
 
+from lkpy_tpu.parallel.distributed import (
+    host_count,
+    host_index,
+    init_distributed,
+    is_coordinator,
+    local_device_count,
+)
 from lkpy_tpu.parallel.mesh import MeshSpec, get_mesh, make_mesh
 from lkpy_tpu.parallel.ops import (
     shard_batch,
@@ -23,6 +30,11 @@ from lkpy_tpu.parallel.ops import (
 
 __all__ = [
     "MeshSpec",
+    "host_count",
+    "host_index",
+    "init_distributed",
+    "is_coordinator",
+    "local_device_count",
     "get_mesh",
     "make_mesh",
     "shard_batch",

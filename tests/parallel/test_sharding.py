@@ -90,3 +90,17 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (16, 8)
     mod.dryrun_multichip(8)
+
+
+def test_distributed_noop_single_host(monkeypatch):
+    """With no coordinator configured, init is a no-op and host helpers work."""
+    from lkpy_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.setattr(distributed, "_initialized", False)
+    assert distributed.init_distributed() is False
+    assert distributed.is_coordinator()
+    assert distributed.host_count() == 1
+    assert distributed.host_index() == 0
+    assert distributed.local_device_count() == len(jax.devices())
