@@ -170,6 +170,15 @@ class Pipeline:
             if isinstance(node, ComponentNode) and isinstance(node.component, Trainable):
                 import numpy as np
 
+                if not options.retrain:
+                    # skip already-trained components (reference: _impl.py:359)
+                    trained = getattr(node.component, "is_trained", False)
+                    if callable(trained):
+                        trained = trained()
+                    if trained:
+                        _log.debug("component already trained; skipping", node=name)
+                        continue
+
                 base = options.rng if not isinstance(options.rng, np.random.Generator) else None
                 comp_opts = TrainingOptions(
                     retrain=options.retrain,
