@@ -68,7 +68,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
-    from lkpy_tpu.ops.als import als_half_epoch
+    from lkpy_tpu.ops.als import als_epoch, bucket_args
     from lkpy_tpu.ops.sparse import bucket_rows
 
     log(f"devices: {jax.devices()}")
@@ -77,28 +77,33 @@ def main():
     iu = ui.transpose()
     log(f"dataset built: {nnz} interactions ({time.time() - t0:.1f}s)")
 
-    u_buckets = bucket_rows(ui, field="rating", max_width=4096)
-    i_buckets = bucket_rows(iu, field="rating", max_width=65536)
-    log(f"buckets: users={[b.cols.shape for b in u_buckets]}, items={[b.cols.shape for b in i_buckets]}")
+    u_buckets = bucket_args(bucket_rows(ui, field="rating", max_width=4096))
+    i_buckets = bucket_args(bucket_rows(iu, field="rating", max_width=65536))
+    log(f"buckets: users={[b[1].shape for b in u_buckets]}, items={[b[1].shape for b in i_buckets]}")
 
     u = jnp.asarray((rng.standard_normal((N_USERS, K)) * 0.01).astype(np.float32) ** 2)
     i = jnp.asarray((rng.standard_normal((N_ITEMS, K)) * 0.01).astype(np.float32) ** 2)
 
     def epoch(u, i):
-        u, _ = als_half_epoch(u_buckets, u, i, 0.1, mode="implicit")
-        i, _ = als_half_epoch(i_buckets, i, u, 0.1, mode="implicit")
+        # ONE device program per epoch (both halves); deltas stay on device
+        u, i, _du, _di = als_epoch(u_buckets, i_buckets, u, i, 0.1, 0.1, mode="implicit")
         return u, i
+
+    def sync(x):
+        # block_until_ready is NOT sufficient on remote (tunneled) backends —
+        # force a device->host readback so timing covers actual execution
+        return float(jnp.sum(x))
 
     # warm-up (compilation)
     tw = time.time()
     u, i = epoch(u, i)
-    jax.block_until_ready(i)
+    sync(i)
     log(f"warm-up epoch (incl. compile): {time.time() - tw:.1f}s")
 
     ts = time.time()
     for _ in range(EPOCHS):
         u, i = epoch(u, i)
-    jax.block_until_ready(i)
+    sync(i)
     dt = time.time() - ts
     # one epoch touches each interaction twice (user half + item half)
     examples_per_s = nnz * 2 * EPOCHS / dt

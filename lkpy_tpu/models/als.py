@@ -184,9 +184,19 @@ class ALSTrainerBase(ModelTrainer):
 
     # epoch loop -----------------------------------------------------------
     def train_epoch(self) -> float:
-        du = self._half_epoch("user")
-        di = self._half_epoch("item")
+        # one fused device program per epoch: both halves, no host sync
+        # until the convergence metric is read
+        self.u_factors, self.i_factors, du, di = als_ops.als_epoch(
+            self.u_buckets,
+            self.i_buckets,
+            self.u_factors,
+            self.i_factors,
+            self.config.user_reg,
+            self.config.item_reg,
+            mode=self.mode,
+        )
         self.epochs_trained += 1
+        du, di = float(du), float(di)
         _log.debug("epoch deltas", epoch=self.epochs_trained, du=du, di=di)
         return du + di
 
