@@ -13,16 +13,23 @@ before ``lax.top_k``.  This kernel instead streams item tiles through VMEM,
 computes each (QB, NT) score tile on the MXU, and merges it into a running
 per-query top-k buffer held in VMEM — the score matrix never touches HBM.
 HBM traffic drops to the embedding reads (+1 B/score when an exclusion mask
-is used), which is the speed-of-light floor for exact retrieval.
+is used), which is the memory floor for exact retrieval.
 
-The merge is iterative max-extraction (k passes over the tile on the VPU),
-so the kernel targets *small k* — the top-10/20 lists of the north-star
-"top-k queries/s" metric (BASELINE.md).  For large k (e.g. the k=512
-neighbor tables of the kNN trainer) the XLA ``approx_max_k`` path in
-``ops/knn.py`` remains the right tool; ``batch/device.py`` picks per call.
+The merge is iterative max-extraction (k VPU passes over each tile), so the
+kernel targets *small k* (top-10/20 retrieval).  Measured on v5e (B=1024
+queries, D=64, k=10, honest device sync):
+
+    n_items = 27k:  XLA matmul+top_k 4.2 ms — WINS (scores fit on-chip and
+                    XLA fuses well at this size); this kernel 13.3 ms
+    n_items = 500k: this kernel 28.3 ms — WINS; XLA 34.0 ms
+
+So this is the *large-catalog* retrieval path (``ops.topk.retrieval_topk``
+dispatches on catalog size); the XLA path stays the default.  For large k
+(e.g. k=512 kNN neighbor tables) the ``approx_max_k`` path in ``ops/knn.py``
+remains the right tool.
 
 Runs compiled on TPU; everywhere else (CPU test meshes) it runs in Pallas
-interpreter mode so the same code path is exercised by the test suite.
+interpreter mode so the same kernel body is exercised by the test suite.
 """
 
 from __future__ import annotations

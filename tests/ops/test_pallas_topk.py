@@ -74,3 +74,16 @@ def test_mips_topk_more_excluded_than_items():
 def test_mips_topk_k_cap():
     with pytest.raises(ValueError):
         mips_topk(np.zeros((4, 8), np.float32), np.zeros((16, 8), np.float32), MAX_FUSED_K + 1)
+
+
+def test_retrieval_topk_dispatch():
+    from lkpy_tpu.ops.topk import retrieval_topk
+
+    rng = np.random.default_rng(11)
+    Q = rng.standard_normal((9, 24)).astype(np.float32)
+    I = rng.standard_normal((300, 24)).astype(np.float32)
+    bias = rng.standard_normal(300).astype(np.float32)
+    vals, idx = retrieval_topk(jnp.asarray(Q), jnp.asarray(I), 5, i_bias=jnp.asarray(bias))
+    rv, ri = _oracle(Q, I, 5, i_bias=bias)
+    np.testing.assert_allclose(np.asarray(vals), rv, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), ri)
