@@ -8,16 +8,28 @@ Capability parity with the reference ``ItemListCollection``
 
 from __future__ import annotations
 
-from collections import namedtuple
 from os import PathLike
-from typing import Any, Iterator, Mapping, Sequence
+from typing import Any, Iterator, Mapping, Protocol, Sequence, runtime_checkable
 
 import numpy as np
 import pandas as pd
 
 from lkpy_tpu.data.items import ItemList
+from lkpy_tpu.data.keys import create_key_type, project_key
 
-__all__ = ["ItemListCollection"]
+__all__ = [
+    "ItemListCollection",
+    "ItemListCollector",
+    "MutableItemListCollection",
+    "ListILC",
+]
+
+
+@runtime_checkable
+class ItemListCollector(Protocol):
+    """Anything item lists can be added to (reference: _collection/_base.py:594)."""
+
+    def add(self, items: ItemList, *fields: Any, **kwfields: Any) -> None: ...  # pragma: no cover
 
 
 class ItemListCollection:
@@ -36,7 +48,7 @@ class ItemListCollection:
         else:
             fields = list(key)
         self._fields = tuple(fields)
-        self._key_type = namedtuple("ILCKey", fields, rename=True)
+        self._key_type = create_key_type(*self._fields)
         self._keys: list[tuple] = []
         self._lists: list[ItemList] = []
         self._index: dict[tuple, int] | None = {} if index else None
@@ -121,10 +133,9 @@ class ItemListCollection:
     def lookup_projected(self, key: tuple) -> ItemList | None:
         """Lookup by a key that may have extra fields (reference: _base.py:528)."""
         if hasattr(key, "_fields"):
-            kd = dict(zip(key._fields, key))  # type: ignore[attr-defined]
             try:
-                key = tuple(kd[f] for f in self._fields)
-            except KeyError:
+                key = project_key(key, self._key_type)
+            except TypeError:
                 return None
         return self.lookup(*key)
 
@@ -194,3 +205,9 @@ class ItemListCollection:
 
     def __repr__(self) -> str:
         return f"<ItemListCollection {self._fields} [{len(self)} lists]>"
+
+
+#: reference-parity aliases: the in-memory list-backed collection is the
+#: mutable implementation (reference: _collection/_list.py:27)
+MutableItemListCollection = ItemListCollection
+ListILC = ItemListCollection

@@ -32,6 +32,40 @@ from lkpy_tpu.diagnostics import DataError
 __all__ = ["Dataset", "EntitySet", "RelationshipSet", "MatrixRelationshipSet"]
 
 
+class EntityAttribute:
+    """
+    One attribute column of an entity class — IDs/numbers plus values
+    (reference: data/_attributes.py:50).
+    """
+
+    def __init__(self, name: str, vocabulary: "Vocabulary", values: pd.Series):
+        self.name = name
+        self._vocab = vocabulary
+        self._values = values
+
+    @property
+    def entity_class(self) -> str:
+        return self._vocab.name or "entity"
+
+    def ids(self) -> np.ndarray:
+        return self._vocab.ids
+
+    def numbers(self) -> np.ndarray:
+        return np.arange(len(self._vocab), dtype=np.int32)
+
+    def pandas(self) -> pd.Series:
+        return self._values
+
+    def numpy(self) -> np.ndarray:
+        return self._values.to_numpy()
+
+    def __len__(self) -> int:
+        return len(self._values)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug repr
+        return f"<EntityAttribute {self.entity_class}.{self.name} [{len(self)}]>"
+
+
 class EntitySet:
     """A class of entities with vocabulary and attributes (reference: data/_entities.py:29)."""
 
@@ -60,8 +94,14 @@ class EntitySet:
 
     def attribute(self, name: str) -> pd.Series:
         if name not in self._attributes.columns:
-            raise KeyError(f"entity class {self.name!r} has no attribute {name!r}")
+            from lkpy_tpu.diagnostics import FieldError
+
+            raise FieldError(self.name, name)
         return self._attributes[name]
+
+    def attribute_set(self, name: str) -> EntityAttribute:
+        """The attribute as an :class:`EntityAttribute` (IDs + values)."""
+        return EntityAttribute(name, self.vocabulary, self.attribute(name))
 
     def pandas(self) -> pd.DataFrame:
         df = self._attributes.copy()
@@ -567,3 +607,40 @@ class Dataset:
         return f"<Dataset {self.name or '?'} ({self.user_count} users, {self.item_count} items)>"
 
     __repr__ = __str__
+
+
+class DataContainer:
+    """
+    The raw storage form of a dataset — schema plus one table per entity
+    class and relationship (reference: data/_container.py:28).  ``Dataset``
+    is the indexed view over a container.
+    """
+
+    def __init__(self, schema: DataSchema, tables: dict[str, pd.DataFrame]):
+        self.schema = schema
+        self.tables = tables
+
+    @classmethod
+    def from_dataset(cls, ds: Dataset) -> "DataContainer":
+        tables = {name: es.pandas() for name, es in ds._entities.items()}
+        tables.update(ds._tables)
+        return cls(ds.schema, tables)
+
+    def dataset(self) -> Dataset:
+        """Index this container into a full :class:`Dataset`."""
+        entities = {}
+        for name in self.schema.entities:
+            df = self.tables[name]
+            ids = df[f"{name}_id"].to_numpy()
+            vocab = Vocabulary(ids, name, reorder=False)
+            entities[name] = EntitySet(name, vocab, df.drop(columns=[f"{name}_id"]))
+        rels = {name: self.tables[name] for name in self.schema.relationships}
+        return Dataset(self.schema, entities, rels)
+
+    def save(self, path: str | PathLike) -> None:
+        """Save as Parquet tables + schema.json (reference: _container.py:72)."""
+        self.dataset().save(path)
+
+    @classmethod
+    def load(cls, path: str | PathLike) -> "DataContainer":
+        return cls.from_dataset(Dataset.load(path))

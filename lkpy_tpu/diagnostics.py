@@ -9,6 +9,7 @@ the reference find the same error surface.
 __all__ = [
     "DataWarning",
     "DataError",
+    "FieldError",
     "ConfigWarning",
     "PipelineError",
     "PipelineWarning",
@@ -21,6 +22,14 @@ class DataWarning(UserWarning):
 
 class DataError(Exception):
     """Error raised for problems with input data."""
+
+
+class FieldError(KeyError):
+    """A requested entity/relationship field does not exist
+    (reference: diagnostics.py:24)."""
+
+    def __init__(self, entity, field):
+        super().__init__(f"{entity}[{field}]")
 
 
 class ConfigWarning(UserWarning):
