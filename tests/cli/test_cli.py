@@ -65,3 +65,60 @@ def test_pipeline_diagram(runner):
     res = runner.invoke(cli, ["pipeline", "diagram", "-m", "pop"])
     assert res.exit_code == 0, res.output
     assert "flowchart TD" in res.output
+
+
+def test_config_show(runner):
+    res = runner.invoke(cli, ["config"])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(cli, ["config", "--json"])
+    assert res.exit_code == 0, res.output
+    cfg = json.loads(res.output)
+    assert "parallel" in cfg or len(cfg) > 0
+
+
+def test_task_wrapper(runner, tmp_path):
+    record = str(tmp_path / "task.json")
+    res = runner.invoke(cli, ["task", "--save-to", record, "--label", "t", "doctor"])
+    assert res.exit_code == 0, res.output
+    rec = json.loads(open(record).read())
+    assert rec["label"] == "t"
+    assert rec["status"] == "finished"
+
+
+def test_profile_summarize(runner, tmp_path):
+    import pandas as pd
+
+    prof = tmp_path / "profile.csv"
+    # wide format: one column per pipeline stage, one row per run
+    pd.DataFrame(
+        {
+            "scorer": [0.5, 0.7],
+            "ranker": [0.1, 0.2],
+        }
+    ).to_csv(prof, index=False)
+    res = runner.invoke(cli, ["profile", "summarize", str(prof)])
+    assert res.exit_code == 0, res.output
+    assert "scorer" in res.output
+
+
+def test_tune_cli(runner, tmp_path):
+    spec = tmp_path / "spec.json"
+    spec.write_text(
+        json.dumps(
+            {
+                "model": "bias",
+                "space": {"damping": {"type": "float", "min": 0.5, "max": 25.0, "log": True}},
+                "metric": "RMSE",
+                "mode": "minimize",
+                "max_points": 2,
+                "predicts_ratings": True,
+            }
+        )
+    )
+    out = tmp_path / "results.json"
+    res = runner.invoke(cli, ["tune", "-s", str(spec), "-o", str(out), ML])
+    assert res.exit_code == 0, res.output
+    assert "best RMSE" in res.output
+    results = json.loads(out.read_text())
+    assert len(results["points"]) == 2
+    assert 0.5 <= results["best_params"]["damping"] <= 25.0
