@@ -181,12 +181,21 @@ class ItemListCollection:
         return pa.Table.from_pandas(self.to_df(), preserve_index=False)
 
     def save_parquet(self, path: str | PathLike) -> None:
-        """Save as Parquet (long layout with key columns; reference: _base.py:332)."""
+        """Save as Parquet (long layout with key columns; reference: _base.py:332).
+
+        Empty lists are preserved (as in the reference's list-structured
+        layout) by writing one marker row per empty list with a null
+        ``item_id``; :meth:`load_parquet` turns those back into empty lists.
+        """
         df = self.to_df()
-        df.attrs["lkpy_tpu_key"] = list(self._fields)
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        empties = [k for k, il in zip(self._keys, self._lists) if len(il) == 0]
+        if empties:
+            marks = pd.DataFrame(empties, columns=list(self._fields))
+            marks["item_id"] = None
+            df = pd.concat([df, marks], ignore_index=True)
         tbl = pa.Table.from_pandas(df, preserve_index=False)
         meta = dict(tbl.schema.metadata or {})
         meta[b"lkpy_tpu_key"] = ",".join(self._fields).encode()
@@ -201,7 +210,14 @@ class ItemListCollection:
             meta = tbl.schema.metadata or {}
             if b"lkpy_tpu_key" in meta:
                 key = meta[b"lkpy_tpu_key"].decode().split(",")
-        return cls.from_df(tbl.to_pandas(), key)
+        df = tbl.to_pandas()
+        null_items = df["item_id"].isna() if "item_id" in df.columns else None
+        if null_items is not None and null_items.any():
+            ilc = cls.from_df(df[~null_items], key)
+            for _, row in df[null_items].iterrows():
+                ilc.add(ItemList(), *(row[f] for f in ilc.key_fields))
+            return ilc
+        return cls.from_df(df, key)
 
     def __repr__(self) -> str:
         return f"<ItemListCollection {self._fields} [{len(self)} lists]>"

@@ -143,7 +143,12 @@ class ItemList:
                 scores = df[col].to_numpy()
             elif col == "rank":
                 rank = df[col].to_numpy()
-                ordered = True
+                if rank.dtype.kind == "f" and np.isnan(rank).any():
+                    # long frames mixing ordered and unordered lists carry
+                    # NaN ranks for the unordered ones — treat as unranked
+                    rank = None
+                else:
+                    ordered = True
             else:
                 fields[col] = df[col].to_numpy()
         return cls(
