@@ -204,3 +204,30 @@ def test_metric_labels_unique():
     ra = RunAnalysis(NDCG(), NDCG(10))
     labels = [m.label for m in ra.collector.metrics]
     assert len(set(labels)) == 2
+
+
+def test_ils_hand_computed():
+    """ILS = mean pairwise cosine (reference: metrics/_ils.py)."""
+    from lkpy_tpu.metrics import ILS
+
+    # orthogonal vectors -> ILS 0; identical -> 1
+    recs = ItemList(item_ids=[1, 2], scores=[1.0, 0.5], vec=np.array([[1.0, 0.0], [0.0, 1.0]]))
+    m = ILS(field="vec")
+    assert m.measure_list(recs, ItemList()) == pytest.approx(0.0)
+
+    recs2 = ItemList(item_ids=[1, 2, 3], scores=[1.0, 0.5, 0.2], vec=np.array([[1.0, 0.0]] * 3))
+    assert m.measure_list(recs2, ItemList()) == pytest.approx(1.0)
+
+    # 3 vectors: pairwise cosines (1,2)=0, (1,3)=cos45, (2,3)=cos45
+    v = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    recs3 = ItemList(item_ids=[1, 2, 3], scores=[1.0, 0.5, 0.2], vec=v)
+    expect = (0.0 + np.sqrt(0.5) + np.sqrt(0.5)) / 3
+    assert m.measure_list(recs3, ItemList()) == pytest.approx(expect)
+
+
+def test_ils_singleton_nan():
+    from lkpy_tpu.metrics import ILS
+
+    m = ILS(field="vec")
+    one = ItemList(item_ids=[1], scores=[1.0], vec=np.array([[1.0, 0.0]]))
+    assert np.isnan(m.measure_list(one, ItemList()))
