@@ -14,7 +14,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 import lkpy_tpu.ops.als as als_mod
-from lkpy_tpu.ops.als import bucket_args
+from lkpy_tpu.ops.als import chunk_buckets as bucket_args
 from lkpy_tpu.ops.sparse import bucket_rows
 
 N_USERS, N_ITEMS, NNZ, K = 138_000, 27_000, 20_000_000, 64
@@ -63,12 +63,12 @@ def main():
     # stub out the solver: epoch becomes gathers + grams + scatters only
     real_solve = als_mod.batched_spd_solve
     als_mod.batched_spd_solve = lambda A, y: y + A[:, :, 0]
-    als_mod._epoch_jit._clear_cache()
+    als_mod._epoch_fn.cache_clear()
     try:
         nosolve = run_epochs("epoch w/o solves")
     finally:
         als_mod.batched_spd_solve = real_solve
-        als_mod._epoch_jit._clear_cache()
+        als_mod._epoch_fn.cache_clear()
     print(f"solve share: {(full - nosolve) * 1000:.1f} ms/epoch", flush=True)
 
 

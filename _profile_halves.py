@@ -12,7 +12,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
-from lkpy_tpu.ops.als import als_half_epoch, bucket_args
+from lkpy_tpu.ops.als import als_half_epoch, chunk_buckets as bucket_args
 from lkpy_tpu.ops.sparse import bucket_rows
 
 N_USERS, N_ITEMS, NNZ, K = 138_000, 27_000, 20_000_000, 64

@@ -1,19 +1,25 @@
 """
 Benchmark entry point (driver-run, real TPU).
 
-Measures the BASELINE.json north-star metric: implicit-ALS training
-throughput (interaction examples processed per second per chip) at ML-20M
-scale (synthetic 138k users x 27k items x 20M interactions, 64 factors —
-matching the real ML-20M marginals), using the batched-Cholesky ALS kernels.
+Measures the BASELINE.json north-star metrics at ML-20M scale (synthetic
+138k users x 27k items x ~18.4M interactions with planted block structure
+and MovieLens-like popularity skew, 64 factors):
+
+1. implicit-ALS training throughput (examples/s/chip) — primary metric;
+2. end-to-end train -> batch-recommend -> NDCG@10 on a held-out split
+   (ties throughput to accuracy; compared against the measured CPU-baseline
+   NDCG on the identical split);
+3. item-kNN top-k serving queries/s (27k and 500k item catalogs);
+4. item-kNN similarity build time at 27k items.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-``vs_baseline`` divides by an estimated CPU-LensKit throughput of 2.0e6
-examples/s (the reference publishes no numbers — BASELINE.md: "published: {}";
-this estimate is an 8-core rayon ALS pass over 20M ratings in ~10 s/epoch,
-consistent with the reference's kernel design).  The north-star target is
->= 10x.
+``vs_baseline`` divides by a MEASURED CPU throughput: cpp/als_cpu_baseline.cpp
+is a faithful C++/OpenMP port of the reference's Rust implicit-ALS kernel
+(reference: src/accel/als/implicit.rs:26; the reference itself cannot be
+installed — its accelerator needs rustc, absent from this image), measured on
+this host via _measure_cpu_baseline.py.  See CPU_BASELINE_* below.
 """
 
 from __future__ import annotations
@@ -26,7 +32,12 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-CPU_BASELINE_EXAMPLES_PER_S = 2.0e6
+# measured by _measure_cpu_baseline.py on this host (2 cores, g++ -O3
+# -march=native -fopenmp, 2 timed epochs on the identical synthetic dataset);
+# see BASELINE_CPU.json for the raw record
+CPU_BASELINE_EXAMPLES_PER_S = 1.24e6
+CPU_BASELINE_THREADS = 2
+CPU_BASELINE_NDCG10 = 0.233  # C++ baseline factors, same split + eval code
 
 # ML-20M-like scale
 N_USERS = 138_000
@@ -34,28 +45,68 @@ N_ITEMS = 27_000
 NNZ = 20_000_000
 K = 64
 EPOCHS = 3  # timed epochs (after warm-up)
+N_GROUPS = 50  # planted block structure (recoverable by MF -> meaningful NDCG)
+N_TEST_USERS = 10_000
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def synth_dataset(rng: np.random.Generator):
-    """Synthetic interactions with MovieLens-like popularity skew."""
-    from lkpy_tpu.data.matrix import CSR
-
+def synth_interactions(rng: np.random.Generator):
+    """Synthetic interactions: MovieLens-like popularity skew + planted
+    user-group/item-group block structure (NDCG@10 on a holdout is then a
+    real signal-recovery measurement, not noise)."""
     # zipf-ish item popularity via inverse-CDF (vectorized, fast)
     item_w = 1.0 / np.arange(1, N_ITEMS + 1) ** 0.8
     cdf = np.cumsum(item_w / item_w.sum())
-    items = np.searchsorted(cdf, rng.random(NNZ)).astype(np.int64)
     users = rng.integers(0, N_USERS, size=NNZ).astype(np.int64)
+    # block structure: user group g prefers items with item_group == g
+    user_group = rng.integers(0, N_GROUPS, size=N_USERS)
+    # items assigned to groups round-robin so each group spans the popularity range
+    item_group = np.arange(N_ITEMS) % N_GROUPS
+    in_group = rng.random(NNZ) < 0.75
+    raw = np.searchsorted(cdf, rng.random(NNZ)).astype(np.int64)
+    # map raw popular draw onto the user's group: keep the draw's popularity
+    # rank but snap to the nearest item of the user's group
+    g = user_group[users]
+    snapped = (raw // N_GROUPS) * N_GROUPS + g
+    snapped = np.minimum(snapped, N_ITEMS - 1)
+    items = np.where(in_group, snapped, raw)
     # dedupe (user, item)
     key = users * N_ITEMS + items
     uniq = np.unique(key)
     users = (uniq // N_ITEMS).astype(np.int64)
     items = (uniq % N_ITEMS).astype(np.int64)
-    vals = np.full(len(uniq), 40.0, dtype=np.float32)  # confidence weight w=40
-    return CSR.from_coo(users, items, vals, (N_USERS, N_ITEMS)), len(uniq)
+    return users, items
+
+
+def split_holdout(users, items, rng):
+    """Hold out ~20% of interactions for N_TEST_USERS sampled users."""
+    test_users = rng.choice(N_USERS, size=N_TEST_USERS, replace=False)
+    is_test_user = np.zeros(N_USERS, dtype=bool)
+    is_test_user[test_users] = True
+    cand = is_test_user[users] & (rng.random(len(users)) < 0.2)
+    return ~cand, users[cand], items[cand]
+
+
+def ndcg10(u_idx, top_items, test_u, test_i):
+    """NDCG@10 of (B, 10) recommendations against held-out items."""
+    import pandas as pd
+
+    df = pd.DataFrame({"u": test_u, "i": test_i})
+    by_user = df.groupby("u")["i"].apply(set)
+    disc = 1.0 / np.log2(np.arange(2, 12))
+    vals = []
+    for u, recs in zip(u_idx, top_items):
+        rel = by_user.get(u)
+        if not rel:
+            continue
+        hits = np.fromiter((r in rel for r in recs), dtype=float, count=len(recs))
+        dcg = float(hits @ disc[: len(recs)])
+        ideal = float(disc[: min(len(rel), 10)].sum())
+        vals.append(dcg / ideal if ideal > 0 else 0.0)
+    return float(np.mean(vals)) if vals else float("nan")
 
 
 def main():
@@ -68,18 +119,25 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
-    from lkpy_tpu.ops.als import als_epoch, bucket_args
+    from lkpy_tpu.data.matrix import CSR
+    from lkpy_tpu.ops.als import als_epoch, chunk_buckets
     from lkpy_tpu.ops.sparse import bucket_rows
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
-    ui, nnz = synth_dataset(rng)
+    all_u, all_i = synth_interactions(rng)
+    train_mask, test_u, test_i = split_holdout(all_u, all_i, rng)
+    tr_u, tr_i = all_u[train_mask], all_i[train_mask]
+    nnz = len(tr_u)
+    vals = np.full(nnz, 40.0, dtype=np.float32)  # confidence weight w=40
+    ui = CSR.from_coo(tr_u, tr_i, vals, (N_USERS, N_ITEMS))
     iu = ui.transpose()
-    log(f"dataset built: {nnz} interactions ({time.time() - t0:.1f}s)")
+    log(f"dataset built: {nnz} train / {len(test_u)} test interactions ({time.time() - t0:.1f}s)")
 
-    u_buckets = bucket_args(bucket_rows(ui, field="rating", max_width=4096))
-    i_buckets = bucket_args(bucket_rows(iu, field="rating", max_width=65536))
-    log(f"buckets: users={[b[1].shape for b in u_buckets]}, items={[b[1].shape for b in i_buckets]}")
+    # ---- 1. ALS training throughput --------------------------------------
+    u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096))
+    i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536))
+    log(f"chunks: users={[b.cols.shape for b in u_buckets]}, items={[b.cols.shape for b in i_buckets]}")
 
     u = jnp.asarray((rng.standard_normal((N_USERS, K)) * 0.01).astype(np.float32) ** 2)
     i = jnp.asarray((rng.standard_normal((N_ITEMS, K)) * 0.01).astype(np.float32) ** 2)
@@ -94,11 +152,11 @@ def main():
         # force a device->host readback so timing covers actual execution
         return float(jnp.sum(x))
 
-    # warm-up (compilation)
     tw = time.time()
     u, i = epoch(u, i)
     sync(i)
-    log(f"warm-up epoch (incl. compile): {time.time() - tw:.1f}s")
+    warmup_s = time.time() - tw
+    log(f"warm-up epoch (incl. compile): {warmup_s:.1f}s")
 
     ts = time.time()
     for _ in range(EPOCHS):
@@ -109,6 +167,67 @@ def main():
     examples_per_s = nnz * 2 * EPOCHS / dt
     log(f"{EPOCHS} epochs in {dt:.2f}s -> {examples_per_s:.3e} examples/s/chip")
 
+    # ---- 2. end-to-end NDCG@10 on the holdout ----------------------------
+    # continue to 10 total epochs (standard config) for the quality check
+    for _ in range(10 - 1 - EPOCHS):
+        u, i = epoch(u, i)
+    sync(i)
+    test_user_ids = np.unique(test_u)
+    u_np = np.asarray(u)
+    i_dev = i
+
+    from lkpy_tpu.ops.topk import retrieval_topk
+
+    chunk = 2048
+    tops = []
+    t_rec = time.time()
+    for lo in range(0, len(test_user_ids), chunk):
+        batch = test_user_ids[lo : lo + chunk]
+        q = jnp.asarray(u_np[batch])
+        # mask train items by over-fetch + host filter (histories are long)
+        s, idx = retrieval_topk(q, i_dev, 10 + 64)
+        tops.append((batch, np.asarray(idx)))
+    # filter each user's trained items, keep top-10
+    import pandas as pd
+
+    hist = pd.DataFrame({"u": tr_u, "i": tr_i}).groupby("u")["i"].apply(set)
+    rec10 = []
+    rec_users = []
+    for batch, idx in tops:
+        for b_u, row in zip(batch, idx):
+            h = hist.get(b_u, ())
+            row = [r for r in row if r not in h][:10]
+            rec_users.append(b_u)
+            rec10.append(row)
+    nd = ndcg10(rec_users, rec10, test_u, test_i)
+    log(f"end-to-end NDCG@10 = {nd:.4f} (CPU baseline {CPU_BASELINE_NDCG10}) in {time.time()-t_rec:.1f}s")
+
+    # ---- 3. kNN/MF top-k serving queries/s -------------------------------
+    def measure_qps(n_items_cat: int, batch: int = 4096, k: int = 100):
+        tbl = jnp.asarray(rng.standard_normal((n_items_cat, K)).astype(np.float32))
+        qs = jnp.asarray(rng.standard_normal((batch, K)).astype(np.float32))
+        s, idx = retrieval_topk(qs, tbl, k)
+        sync(s)  # warm-up/compile
+        reps = 8
+        tq = time.time()
+        for _ in range(reps):
+            s, idx = retrieval_topk(qs, tbl, k)
+        sync(s)
+        return batch * reps / (time.time() - tq)
+
+    qps_27k = measure_qps(N_ITEMS)
+    qps_500k = measure_qps(500_000)
+    log(f"retrieval top-100 qps: 27k items {qps_27k:.3e}, 500k items {qps_500k:.3e}")
+
+    # ---- 4. item-kNN similarity build at 27k items -----------------------
+    from lkpy_tpu.ops.knn import normalize_item_matrix, similarity_topk
+
+    t_knn = time.time()
+    normed, _means = normalize_item_matrix(iu, explicit=False)
+    table = similarity_topk(normed, 64)
+    knn_build_s = time.time() - t_knn
+    log(f"item-kNN similarity build (27k items, k=64): {knn_build_s:.1f}s")
+
     print(
         json.dumps(
             {
@@ -116,6 +235,16 @@ def main():
                 "value": round(examples_per_s, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(examples_per_s / CPU_BASELINE_EXAMPLES_PER_S, 3),
+                "extra": {
+                    "warmup_compile_s": round(warmup_s, 1),
+                    "ndcg_at_10": round(nd, 4),
+                    "cpu_baseline_ndcg_at_10": CPU_BASELINE_NDCG10,
+                    "cpu_baseline_examples_per_s": CPU_BASELINE_EXAMPLES_PER_S,
+                    "cpu_baseline_threads": CPU_BASELINE_THREADS,
+                    "knn_serving_qps_27k_items": round(qps_27k, 1),
+                    "knn_serving_qps_500k_items": round(qps_500k, 1),
+                    "knn_similarity_build_s_27k_items": round(knn_build_s, 1),
+                },
             }
         )
     )

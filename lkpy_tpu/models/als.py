@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from pydantic import AliasChoices, BaseModel, Field
@@ -163,17 +164,27 @@ class ALSTrainerBase(ModelTrainer):
         scorer.items = data.items
         self.rng = options.random_generator()
         self.epochs_trained = 0
+        self.mesh = options.mesh
 
         ui_csr = self.prepare_matrix(data)
         iu_csr = ui_csr.transpose()
-        # bucket rows once; shapes stay static across epochs so each bucket
-        # kernel compiles exactly once
-        self.u_buckets = bucket_rows(ui_csr, field="rating")
-        self.i_buckets = bucket_rows(iu_csr, field="rating")
+        # bucket + chunk rows once; shapes stay static across epochs so each
+        # bucket-width scan body compiles exactly once.  With a mesh, chunk
+        # batches shard over the 'data' axis (the TPU form of the reference's
+        # rayon row parallelism, src/accel/als/explicit.rs:62).
+        self.u_buckets = als_ops.chunk_buckets(bucket_rows(ui_csr, field="rating"), mesh=self.mesh)
+        self.i_buckets = als_ops.chunk_buckets(bucket_rows(iu_csr, field="rating"), mesh=self.mesh)
 
         k = self.config.embedding_size
-        self.u_factors = jnp.asarray(self.initial_params(ui_csr.nrows, k))
-        self.i_factors = jnp.asarray(self.initial_params(ui_csr.ncols, k))
+        self.u_factors = self._place(self.initial_params(ui_csr.nrows, k))
+        self.i_factors = self._place(self.initial_params(ui_csr.ncols, k))
+
+    def _place(self, arr):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, PartitionSpec()))
+        return jnp.asarray(arr)
 
     # subclass API ---------------------------------------------------------
     def prepare_matrix(self, data: Dataset):
@@ -183,9 +194,11 @@ class ALSTrainerBase(ModelTrainer):
         raise NotImplementedError
 
     # epoch loop -----------------------------------------------------------
-    def train_epoch(self) -> float:
-        # one fused device program per epoch: both halves, no host sync
-        # until the convergence metric is read
+    def train_epoch(self):
+        # one fused device program per epoch: both halves, no host sync —
+        # the returned delta is a DEVICE scalar so the host can enqueue the
+        # next epoch while this one runs; float() it only when a convergence
+        # check actually needs the value
         self.u_factors, self.i_factors, du, di = als_ops.als_epoch(
             self.u_buckets,
             self.i_buckets,
@@ -194,20 +207,20 @@ class ALSTrainerBase(ModelTrainer):
             self.config.user_reg,
             self.config.item_reg,
             mode=self.mode,
+            mesh=self.mesh,
         )
         self.epochs_trained += 1
-        du, di = float(du), float(di)
-        _log.debug("epoch deltas", epoch=self.epochs_trained, du=du, di=di)
-        return du + di
+        self.last_delta = du + di
+        return self.last_delta
 
     def _half_epoch(self, side: str) -> float:
         if side == "user":
             self.u_factors, delta = als_ops.als_half_epoch(
-                self.u_buckets, self.u_factors, self.i_factors, self.config.user_reg, mode=self.mode
+                self.u_buckets, self.u_factors, self.i_factors, self.config.user_reg, mode=self.mode, mesh=self.mesh
             )
         else:
             self.i_factors, delta = als_ops.als_half_epoch(
-                self.i_buckets, self.i_factors, self.u_factors, self.config.item_reg, mode=self.mode
+                self.i_buckets, self.i_factors, self.u_factors, self.config.item_reg, mode=self.mode, mesh=self.mesh
             )
         return delta
 
@@ -366,16 +379,10 @@ class ImplicitMFTrainer(ALSTrainerBase):
         mat = self.rng.standard_normal((nrows, ncols)).astype(np.float32) * 0.01
         return mat * mat
 
-    def train_epoch(self) -> float:
-        delta = super().train_epoch()
-        self._save_otor()
-        return delta
-
     def finalize(self):
+        # OtOr is only needed for fold-in scoring, so it is computed here
+        # (and NOT per-epoch: that forced a device→host sync every epoch)
         super().finalize()
-        self._save_otor()
-
-    def _save_otor(self):
         self.scorer._OtOr = np.asarray(
             als_ops.implicit_otor(self.i_factors, jnp.float32(self.config.user_reg))
         )

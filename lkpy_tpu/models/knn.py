@@ -87,7 +87,12 @@ class ItemKNNScorer(Component):
         normed, means = knn_ops.normalize_item_matrix(iu, explicit=self.config.explicit)
         log.debug("normalized item vectors", time=str(sw))
         k = self.config.save_nbrs or self.config.nbr_table_cap
-        self.sim_table = knn_ops.similarity_topk(normed, k, self.config.min_sim)
+        if options.mesh is not None:
+            from lkpy_tpu.parallel.knn import sharded_similarity_topk
+
+            self.sim_table = sharded_similarity_topk(normed, k, self.config.min_sim, mesh=options.mesh)
+        else:
+            self.sim_table = knn_ops.similarity_topk(normed, k, self.config.min_sim)
         self.items = data.items
         self.item_means = means
         self.item_counts = self.sim_table.counts()

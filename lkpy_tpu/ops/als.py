@@ -22,7 +22,8 @@ Implicit ALS (reference implicit.rs:26, Hu et al.):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +36,8 @@ __all__ = [
     "als_half_epoch",
     "als_epoch",
     "batched_spd_solve",
-    "bucket_args",
+    "chunk_buckets",
+    "ChunkedRows",
     "solve_explicit_bucket",
     "solve_implicit_bucket",
     "implicit_otor",
@@ -115,80 +117,187 @@ def implicit_otor(right: jax.Array, reg: jax.Array) -> jax.Array:
     return jnp.dot(right.T, right, preferred_element_type=jnp.float32) + reg * jnp.eye(k, dtype=right.dtype)
 
 
-def bucket_args(buckets: list[PaddedRowMatrix]) -> tuple:
-    """Flatten padded buckets into a hashable-treedef pytree for jit args."""
-    return tuple((b.rows, b.cols, b.values, b.mask) for b in buckets)
-
-
 # bound the live (Bc, P, k) gathered-factor tensor to ~1 GB (k=64 f32):
-# big buckets are split into sub-batches inside the trace so the fused
-# epoch program stays well under HBM even with solver custom-calls that
-# XLA cannot rematerialize across
+# big buckets are split into fixed-shape chunks scanned with lax.scan so the
+# fused epoch program compiles ONE body per bucket width (round-1 unrolled
+# chunks made a 860 s cold compile; the scan form is the fix)
 _CHUNK_ENTRIES = 4_000_000
 
 
-def _half_epoch_body(left, right, reg, buckets, mode: str):
-    """Traced half-epoch: every bucket solve + scatter in one program.
+class ChunkedRows(NamedTuple):
+    """A padded row bucket reshaped into fixed-shape scan chunks.
+
+    ``rows[c, b]`` is the original row number of slot (c, b); padded dummy
+    slots carry row number INT32_MAX (out of bounds for any table), so
+    scatters with ``mode="drop"`` discard them and validity is
+    ``rows < n_rows``.
+    """
+
+    rows: jax.Array  # (C, B) int32
+    cols: jax.Array  # (C, B, P) int32
+    values: jax.Array  # (C, B, P) f32
+    mask: jax.Array  # (C, B, P) bool
+
+
+def chunk_buckets(
+    buckets: list[PaddedRowMatrix],
+    *,
+    mesh=None,
+    entries: int = _CHUNK_ENTRIES,
+) -> tuple[ChunkedRows, ...]:
+    """Reshape padded buckets into fixed-shape scan chunks.
+
+    Each bucket of width P is split into chunks of ``B = entries // P`` rows
+    (padded with out-of-bounds dummy rows), giving every chunk of a bucket
+    the SAME shape — ``lax.scan`` then compiles one body per bucket width
+    instead of one program per (bucket × chunk).
+
+    When ``mesh`` is given, chunk batch dims are sharded over the mesh's
+    ``data`` axis (each device solves its row shard; cf. the reference's
+    rayon row parallelism, src/accel/als/explicit.rs:62).
+    """
+    d = 1
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        d = mesh.shape.get("data", 1)
+        shard = {
+            2: NamedSharding(mesh, P_(None, "data")),
+            3: NamedSharding(mesh, P_(None, "data", None)),
+        }
+    out = []
+    for b in buckets:
+        Bn, P = b.cols.shape
+        step = max(entries // max(P, 1), 8)
+        step = max((step // (8 * d)) * (8 * d), 8 * d)
+        step = min(step, ((Bn + 8 * d - 1) // (8 * d)) * (8 * d))
+        pad = (-Bn) % step
+        rows = jnp.pad(b.rows, (0, pad), constant_values=np.iinfo(np.int32).max)
+        cols = jnp.pad(b.cols, ((0, pad), (0, 0)))
+        mask = jnp.pad(b.mask, ((0, pad), (0, 0)))
+        if b.values is None:
+            vals = mask.astype(jnp.float32)
+        else:
+            vals = jnp.pad(b.values, ((0, pad), (0, 0)))
+        C = (Bn + pad) // step
+        ch = ChunkedRows(
+            rows.reshape(C, step),
+            cols.reshape(C, step, P),
+            vals.reshape(C, step, P),
+            mask.reshape(C, step, P),
+        )
+        if shard is not None:
+            ch = ChunkedRows(
+                jax.device_put(ch.rows, shard[2]),
+                jax.device_put(ch.cols, shard[3]),
+                jax.device_put(ch.values, shard[3]),
+                jax.device_put(ch.mask, shard[3]),
+            )
+        out.append(ch)
+    return tuple(out)
+
+
+def _half_epoch_body(left, right, reg, chunks, mode: str, rep=None):
+    """Traced half-epoch: scan each bucket's fixed-shape chunks.
 
     The whole half runs as ONE XLA program — the reference's per-row rayon
-    loop (explicit.rs:62) becomes a handful of batched bucket solves fused
+    loop (explicit.rs:62) becomes a handful of scanned bucket solves fused
     into a single dispatch, which matters doubly here because each dispatch
     to a (possibly remote) TPU costs far more than the compute per bucket.
     """
     otor = implicit_otor(right, reg) if mode == "implicit" else None
+    n_rows = left.shape[0]
     delta_sq = jnp.float32(0.0)
-    for rows, cols, vals, mask in buckets:
-        B, P = cols.shape
-        step = max(8, _CHUNK_ENTRIES // max(P, 1))
-        for lo in range(0, B, step):
-            hi = min(lo + step, B)
-            r, c, m = rows[lo:hi], cols[lo:hi], mask[lo:hi]
-            v = None if vals is None else vals[lo:hi]
-            if mode == "explicit":
-                x = solve_explicit_bucket(c, v, m, right, reg)
-            else:
-                x = solve_implicit_bucket(c, v, m, right, otor)
-            delta_sq = delta_sq + jnp.sum((x - left[r]) ** 2)
-            left = left.at[r].set(x)
+
+    def body(carry, xs):
+        left, dsq = carry
+        rows, cols, vals, mask = xs
+        if mode == "explicit":
+            x = solve_explicit_bucket(cols, vals, mask, right, reg)
+        else:
+            x = solve_implicit_bucket(cols, vals, mask, right, otor)
+        valid = (rows < n_rows)[:, None]
+        # dummy (padded) rows solve a singular system — select them out
+        # before they can poison the table or the delta
+        x = jnp.where(valid, x, 0.0)
+        dsq = dsq + jnp.sum(jnp.square(x - left[rows]) * valid)
+        left = left.at[rows].set(x, mode="drop")
+        if rep is not None:
+            left = jax.lax.with_sharding_constraint(left, rep)
+        return (left, dsq), None
+
+    for ch in chunks:
+        (left, delta_sq), _ = jax.lax.scan(body, (left, delta_sq), tuple(ch))
     return left, delta_sq
 
 
-@partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
-def _half_epoch_jit(left, right, reg, buckets, *, mode: str):
-    return _half_epoch_body(left, right, reg, buckets, mode)
+@lru_cache(maxsize=None)
+def _half_epoch_fn(mode: str, mesh):
+    rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        rep = NamedSharding(mesh, P_())
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def half(left, right, reg, chunks):
+        return _half_epoch_body(left, right, reg, chunks, mode, rep)
+
+    return half
 
 
-@partial(jax.jit, static_argnames=("mode",), donate_argnums=(0, 1))
-def _epoch_jit(left, right, left_reg, right_reg, left_buckets, right_buckets, *, mode: str):
-    left, dl = _half_epoch_body(left, right, left_reg, left_buckets, mode)
-    right, dr = _half_epoch_body(right, left, right_reg, right_buckets, mode)
-    return left, right, dl, dr
+@lru_cache(maxsize=None)
+def _epoch_fn(mode: str, mesh):
+    rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        rep = NamedSharding(mesh, P_())
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(left, right, left_reg, right_reg, left_chunks, right_chunks):
+        left, dl = _half_epoch_body(left, right, left_reg, left_chunks, mode, rep)
+        right, dr = _half_epoch_body(right, left, right_reg, right_chunks, mode, rep)
+        return left, right, dl, dr
+
+    return epoch
+
+
+def _as_chunks(buckets, mesh):
+    if buckets and isinstance(buckets[0], PaddedRowMatrix):
+        return chunk_buckets(buckets, mesh=mesh)
+    return tuple(buckets)
 
 
 def als_half_epoch(
-    buckets: list[PaddedRowMatrix],
+    buckets,
     left: jax.Array,
     right: jax.Array,
     reg: float,
     *,
     mode: str,
+    mesh=None,
 ) -> tuple[jax.Array, float]:
     """
     Solve one side of an ALS iteration.
 
     Args:
-        buckets: padded row buckets of the interaction matrix (values are
-            normalized ratings for explicit, confidence deltas for implicit).
+        buckets: padded row buckets (or pre-built :func:`chunk_buckets`
+            output) of the interaction matrix (values are normalized ratings
+            for explicit, confidence deltas for implicit).
         left: (n_left, k) factor table being updated.
         right: (n_right, k) fixed factor table.
         reg: regularization strength.
         mode: "explicit" or "implicit".
+        mesh: optional device mesh; row chunks shard over its ``data`` axis.
 
     Returns:
         (updated left table, Frobenius norm of the update delta) — the delta
         matches the reference's convergence metric (explicit.rs ``frob``).
     """
-    left, delta_sq = _half_epoch_jit(left, jnp.asarray(right), jnp.float32(reg), bucket_args(buckets), mode=mode)
+    chunks = _as_chunks(buckets, mesh)
+    left, delta_sq = _half_epoch_fn(mode, mesh)(left, jnp.asarray(right), jnp.float32(reg), chunks)
     return left, float(jnp.sqrt(delta_sq))
 
 
@@ -201,20 +310,21 @@ def als_epoch(
     i_reg: float,
     *,
     mode: str,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """
     One full ALS epoch (user half, then item half) as ONE device program.
 
     No host synchronization: the returned update deltas are device scalars —
     convert with ``float`` only when a convergence check actually needs them.
-    ``u_buckets``/``i_buckets`` may be bucket lists or pre-flattened
-    :func:`bucket_args` tuples.
+    ``u_buckets``/``i_buckets`` may be bucket lists or pre-built
+    :func:`chunk_buckets` tuples (pass the latter to avoid re-chunking every
+    epoch).  With ``mesh``, row batches shard over the ``data`` axis and the
+    factor tables stay replicated (GSPMD all-gathers each chunk's solutions).
     """
-    if u_buckets and isinstance(u_buckets[0], PaddedRowMatrix):
-        u_buckets = bucket_args(u_buckets)
-    if i_buckets and isinstance(i_buckets[0], PaddedRowMatrix):
-        i_buckets = bucket_args(i_buckets)
-    u, i, du, di = _epoch_jit(u, i, jnp.float32(u_reg), jnp.float32(i_reg), u_buckets, i_buckets, mode=mode)
+    u_chunks = _as_chunks(u_buckets, mesh)
+    i_chunks = _as_chunks(i_buckets, mesh)
+    u, i, du, di = _epoch_fn(mode, mesh)(u, i, jnp.float32(u_reg), jnp.float32(i_reg), u_chunks, i_chunks)
     return u, i, jnp.sqrt(du), jnp.sqrt(di)
 
 

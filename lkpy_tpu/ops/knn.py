@@ -172,6 +172,30 @@ def _gram_accum_sparse(
     return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
 
 
+#: neighbor-table recall floor for the approximate top-k path: measured on a
+#: row sample against exact top-k; below this the build redoes itself exactly
+APPROX_RECALL_TARGET = 0.98
+_RECALL_SAMPLE_ROWS = 256
+
+
+def _sample_recall(exact_fn, out_idx, k: int, n_items: int) -> float:
+    """Neighbor-table recall of the approx build on a row sample, vs exact."""
+    rows = min(_RECALL_SAMPLE_ROWS, n_items)
+    sims, idx = exact_fn(0, rows)
+    idx = np.asarray(idx)
+    sims = np.asarray(sims)
+    hits = 0
+    total = 0
+    for r in range(rows):
+        exact_set = set(idx[r][sims[r] > 0].tolist())
+        if not exact_set:
+            continue
+        approx_row = out_idx[r]
+        hits += len(exact_set.intersection(approx_row.tolist()))
+        total += len(exact_set)
+    return hits / total if total else 1.0
+
+
 def similarity_topk(
     iu_csr: CSR,
     k: int,
@@ -180,6 +204,7 @@ def similarity_topk(
     tile: int = 2048,
     max_dense_bytes: int = 4 << 30,
     approx: bool | None = None,
+    recall_validate: bool = True,
 ) -> NeighborTable:
     """
     Top-K thresholded cosine similarity (reference: item_train.rs:95).
@@ -190,7 +215,12 @@ def similarity_topk(
     - large matrices (ML-20M+): accumulate the full Gram ``S = Σ UᵀU`` over
       dense *user* chunks (each an MXU matmul), then tiled threshold+top-k.
       S is n_items² f32 — fine through ~50k items on one chip; beyond that,
-      shard items over the mesh (lkpy_tpu.parallel).
+      pass a mesh via :func:`lkpy_tpu.parallel.knn.sharded_similarity_topk`.
+
+    When the approximate top-k path is used (large catalogs on TPU), the
+    result's recall is validated on a ``_RECALL_SAMPLE_ROWS`` row sample
+    against exact top-k; if it dips below :data:`APPROX_RECALL_TARGET` the
+    build is redone exactly (``recall_validate=False`` skips the check).
     """
     n_items, n_users = iu_csr.shape
     k = min(k, max(n_items - 1, 1))
@@ -203,22 +233,46 @@ def similarity_topk(
 
     tile = min(tile, n_items)
 
-    def run_tiles(fn, *args):
+    def run_tiles(fn, *args, approx_flag=None):
         """Iterate tiles with a traced start offset (single compiled program);
         the final tile overlaps backward to keep the shape static.  Each tile
         syncs via the host copy — deliberate: some remote backends misbehave
         with many queued large programs."""
+        af = approx if approx_flag is None else approx_flag
         for lo in range(0, n_items, tile):
             start = min(lo, n_items - tile)
-            sims, idx = fn(*args, jnp.int32(start), min_sim_j, k, tile)
+            sims, idx = fn(*args, jnp.int32(start), min_sim_j, k, tile, af)
             off = lo - start
             out_sim[lo : start + tile] = np.asarray(sims)[off:]
             out_idx[lo : start + tile] = np.asarray(idx)[off:]
 
+    def check_recall(exact_tile_fn, *args) -> bool:
+        """Validate approx recall on a row sample; True = acceptable."""
+        if not (approx and recall_validate):
+            return True
+        rec = _sample_recall(
+            lambda s, rows: exact_tile_fn(*args, jnp.int32(s), min_sim_j, k, rows, False),
+            out_idx,
+            k,
+            n_items,
+        )
+        if rec >= APPROX_RECALL_TARGET:
+            return True
+        import warnings
+
+        warnings.warn(
+            f"approx top-k neighbor recall {rec:.3f} < {APPROX_RECALL_TARGET}; rebuilding exact",
+            stacklevel=3,
+        )
+        return False
+
     dense_bytes = n_items * n_users * 4
     if dense_bytes <= max_dense_bytes:
         A = jnp.asarray(_host_densify(iu_csr, 0, n_items))  # (n_items, n_users)
-        run_tiles(lambda A, s, m, k, t: _matmul_topk_at(A, s, m, k=k, tile=t, approx=approx), A)
+        fn = lambda A, s, m, k, t, af: _matmul_topk_at(A, s, m, k=k, tile=t, approx=af)
+        run_tiles(fn, A)
+        if not check_recall(fn, A):
+            run_tiles(fn, A, approx_flag=False)
     else:
         # Gram accumulation over user chunks (ALX-style two-pass); sparse
         # chunks are densified ON DEVICE so host→device traffic is O(nnz)
@@ -242,7 +296,10 @@ def similarity_topk(
                 S, jnp.asarray(rel), jnp.asarray(cc), jnp.asarray(vv.astype(np.float32)), user_chunk, n_items
             )
             jax.block_until_ready(S)  # keep the remote queue shallow (donated 2.9GB buffer)
-        run_tiles(lambda S, s, m, k, t: _tile_topk_at(S, s, m, k=k, tile=t, approx=approx), S)
+        fn = lambda S, s, m, k, t, af: _tile_topk_at(S, s, m, k=k, tile=t, approx=af)
+        run_tiles(fn, S)
+        if not check_recall(fn, S):
+            run_tiles(fn, S, approx_flag=False)
 
     return NeighborTable(out_idx, out_sim)
 

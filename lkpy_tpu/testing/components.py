@@ -56,6 +56,14 @@ class ScorerTests(BasicComponentTests):
     expected_rmse: tuple[float, float] | None = None
     expected_ndcg: float | None = None
     use_dense_gate: bool = False
+    #: config used by the (slow) accuracy-gate tests; defaults to ``config``.
+    #: Grid tests run tiny configs for speed, gates run realistic ones.
+    eval_config: object | None = None
+
+    def _make_eval(self):
+        if self.eval_config is not None:
+            return self.component(self.eval_config)
+        return self._make()
 
     @pytest.fixture(scope="class")
     def trained(self, ml_ds: Dataset):
@@ -130,7 +138,7 @@ class ScorerTests(BasicComponentTests):
         if self.expected_rmse is None:
             pytest.skip("no expected RMSE")
         ds = ml_dense_ds if self.use_dense_gate else ml_ds
-        res = quick_measure_model(self._make(), ds, predicts_ratings=True, rng=42, user_frac=0.5)
+        res = quick_measure_model(self._make_eval(), ds, predicts_ratings=True, rng=42, user_frac=0.5)
         rmse = float(res.list_summary().loc["RMSE", "mean"])
         lo, hi = self.expected_rmse
         assert lo <= rmse <= hi
@@ -142,6 +150,6 @@ class ScorerTests(BasicComponentTests):
         if self.expected_ndcg is None:
             pytest.skip("no expected NDCG")
         ds = ml_dense_ds if self.use_dense_gate else ml_ds
-        res = quick_measure_model(self._make(), ds, rng=42, user_frac=0.5)
+        res = quick_measure_model(self._make_eval(), ds, rng=42, user_frac=0.5)
         ndcg = float(res.list_summary().loc["NDCG@20", "mean"])
         assert ndcg >= self.expected_ndcg

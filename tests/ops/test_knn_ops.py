@@ -94,3 +94,53 @@ def test_score_implicit_min_nbrs(iu_matrix):
     # scores defined only where >= 2 rated neighbors
     assert np.isnan(scores[counts < 2]).all()
     assert np.isfinite(scores[counts >= 2]).all()
+
+
+def _random_iu(n_items, n_users, density, seed=42):
+    rng = np.random.default_rng(seed)
+    mat = sps.random(n_items, n_users, density=density, random_state=seed, format="csr")
+    mat.data = np.abs(rng.normal(size=mat.nnz)).astype(np.float32) + 0.1
+    return CSR.from_scipy(mat)
+
+
+def test_approx_recall_validated():
+    """Approx top-k path (n_items >= 8192) must deliver >= 0.98 neighbor
+    recall vs exact, or fall back to exact (VERDICT r1 item 6)."""
+    iu = _random_iu(8500, 500, 0.01)
+    normed, _ = knn_ops.normalize_item_matrix(iu, explicit=False)
+    approx_t = knn_ops.similarity_topk(normed, 16, 1e-6)  # auto-approx + validate
+    exact_t = knn_ops.similarity_topk(normed, 16, 1e-6, approx=False)
+    hits = total = 0
+    for r in range(0, 8500, 37):
+        es = set(exact_t.indices[r][exact_t.sims[r] > 0].tolist())
+        if not es:
+            continue
+        hits += len(es.intersection(approx_t.indices[r].tolist()))
+        total += len(es)
+    assert total > 0
+    assert hits / total >= 0.98
+
+
+def test_approx_recall_fallback(monkeypatch):
+    """If the approx reduction returns garbage, the validator must detect it
+    and rebuild the table exactly."""
+    iu = _random_iu(1000, 300, 0.05)
+    normed, _ = knn_ops.normalize_item_matrix(iu, explicit=False)
+    exact_t = knn_ops.similarity_topk(normed, 8, 1e-6, approx=False)
+
+    import jax
+
+    real_topk = knn_ops._topk
+
+    def bad_topk(x, k, approx):
+        if approx:  # garbage approx result: wrong neighbors
+            vals, idx = jax.lax.top_k(-x, k)
+            return -vals, idx
+        return real_topk(x, k, False)
+
+    monkeypatch.setattr(knn_ops, "_topk", bad_topk)
+    knn_ops._block_topk._clear_cache()
+    with pytest.warns(UserWarning, match="approx top-k neighbor recall"):
+        table = knn_ops.similarity_topk(normed, 8, 1e-6, approx=True)
+    knn_ops._block_topk._clear_cache()
+    np.testing.assert_allclose(table.sims, exact_t.sims, atol=1e-6)
