@@ -96,8 +96,17 @@ class PipelineTuner:
         cfg.update(params)
         return resolve_model(self.spec.model, cfg)
 
-    def _sample_params(self) -> dict[str, Any]:
-        return {name: dim.sample(self.rng) for name, dim in self.spec.space.items()}
+    def _make_sampler(self):
+        from lkpy_tpu.tuning.sampler import RandomSampler, TPESampler
+
+        if self.spec.sampler == "tpe":
+            return TPESampler(
+                self.spec.space,
+                self.rng,
+                n_startup=self.spec.n_startup,
+                maximize=self.spec.mode == "maximize",
+            )
+        return RandomSampler(self.spec.space, self.rng)
 
     # ---- trials -----------------------------------------------------------
     def _simple_trial(self, params: dict[str, Any]) -> SearchPoint:
@@ -149,18 +158,50 @@ class PipelineTuner:
         sw.stop()
         return SearchPoint(params, best_val, epochs=epochs, time=sw.elapsed(), metrics=best_metrics)
 
+    def _run_trial(self, params: dict[str, Any]) -> SearchPoint:
+        if self.spec.method == "iterative":
+            return self._iterative_trial(params)
+        return self._simple_trial(params)
+
     # ---- search -----------------------------------------------------------
     def run(self) -> TuneResults:
+        """Drive the search: TPE (or random) proposals, optionally with
+        ``spec.n_concurrent`` overlapping trial evaluations (the reference
+        runs concurrent Optuna trials on Ray; here a thread pool overlaps
+        host-side work while XLA serializes device programs).  Pending
+        points are fed back to the sampler (constant-liar)."""
         maximize = self.spec.mode == "maximize"
-        for i in range(self.spec.max_points):
-            params = self._sample_params()
-            log = _log.bind(point=i + 1, **params)
-            log.info("evaluating search point")
-            if self.spec.method == "iterative":
-                point = self._iterative_trial(params)
-            else:
-                point = self._simple_trial(params)
-            log.info("search point finished", value=point.value, time=point.time)
-            self.points.append(point)
+        sampler = self._make_sampler()
+        observed: list[tuple[dict[str, Any], float]] = []
+
+        if self.spec.n_concurrent <= 1:
+            for i in range(self.spec.max_points):
+                params = sampler.suggest(observed, [])
+                log = _log.bind(point=i + 1, **params)
+                log.info("evaluating search point")
+                point = self._run_trial(params)
+                log.info("search point finished", value=point.value, time=point.time)
+                self.points.append(point)
+                observed.append((params, point.value))
+        else:
+            from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+            pending: dict[object, dict[str, Any]] = {}
+            submitted = 0
+            with ThreadPoolExecutor(max_workers=self.spec.n_concurrent) as pool:
+                while submitted < self.spec.max_points or pending:
+                    while submitted < self.spec.max_points and len(pending) < self.spec.n_concurrent:
+                        params = sampler.suggest(observed, list(pending.values()))
+                        fut = pool.submit(self._run_trial, params)
+                        pending[fut] = params
+                        submitted += 1
+                    done, _ = wait(pending.keys(), return_when=FIRST_COMPLETED)
+                    for fut in done:
+                        params = pending.pop(fut)
+                        point = fut.result()
+                        _log.info("search point finished", value=point.value, time=point.time, **params)
+                        self.points.append(point)
+                        observed.append((params, point.value))
+
         best = max(self.points, key=lambda p: p.value if maximize else -p.value)
         return TuneResults(best.params, best.value, self.points)

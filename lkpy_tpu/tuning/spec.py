@@ -48,6 +48,12 @@ class TuningSpec(BaseModel):
     "random = full trainings; iterative = per-epoch plateau-stopped trials."
     max_epochs: int = 20
     "Epoch cap for iterative trials."
+    sampler: Literal["tpe", "random"] = "tpe"
+    "Point proposal strategy: TPE (model-based, the reference's Optuna default) or uniform random."
+    n_startup: int = 5
+    "Random points before the TPE model kicks in."
+    n_concurrent: int = 1
+    "Concurrent trial evaluations (thread pool; constant-liar pending handling)."
     predicts_ratings: bool = False
     n_recs: int = 20
     fixed: dict[str, Any] = Field(default_factory=dict)
