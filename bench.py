@@ -35,9 +35,9 @@ sys.path.insert(0, "/root/repo")
 # measured by _measure_cpu_baseline.py on this host (2 cores, g++ -O3
 # -march=native -fopenmp, 2 timed epochs on the identical synthetic dataset);
 # see BASELINE_CPU.json for the raw record
-CPU_BASELINE_EXAMPLES_PER_S = 1.24e6
+CPU_BASELINE_EXAMPLES_PER_S = 3.497e6
 CPU_BASELINE_THREADS = 2
-CPU_BASELINE_NDCG10 = 0.233  # C++ baseline factors, same split + eval code
+CPU_BASELINE_NDCG10 = 0.2097  # C++ baseline factors (10 epochs), same split + eval code
 
 # ML-20M-like scale
 N_USERS = 138_000

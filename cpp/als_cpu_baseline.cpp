@@ -78,10 +78,11 @@ struct Csr {
 // Implemented in main()'s run_half lambda.
 
 int main(int argc, char** argv) {
-    if (argc < 4) { fprintf(stderr, "usage: %s <dir> <k> <epochs>\n", argv[0]); return 1; }
+    if (argc < 4) { fprintf(stderr, "usage: %s <dir> <k> <epochs> [extra_epochs_then_dump]\n", argv[0]); return 1; }
     std::string dir = argv[1];
     int k = atoi(argv[2]);
     int epochs = atoi(argv[3]);
+    int extra = argc > 4 ? atoi(argv[4]) : 0;
 
     long n_users, n_items, nnz;
     {
@@ -172,6 +173,19 @@ int main(int argc, char** argv) {
     auto t1 = std::chrono::steady_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
     double examples_per_s = (double)nnz * 2.0 * epochs / secs;
+    // optional extra epochs + factor dump (for NDCG parity evaluation)
+    for (int ep = 0; ep < extra; ep++) {
+        run_half(ui, U.data(), I.data(), n_items);
+        run_half(iu, I.data(), U.data(), n_users);
+    }
+    if (extra > 0) {
+        FILE* fu = fopen((dir + "/U.f32").c_str(), "wb");
+        fwrite(U.data(), sizeof(float), U.size(), fu);
+        fclose(fu);
+        FILE* fi = fopen((dir + "/I.f32").c_str(), "wb");
+        fwrite(I.data(), sizeof(float), I.size(), fi);
+        fclose(fi);
+    }
     int threads = 1;
 #ifdef _OPENMP
     threads = omp_get_max_threads();

@@ -19,19 +19,32 @@ from lkpy_tpu.batch.runner import BatchPipelineRunner, InvocationSpec
 __all__ = ["BatchPipelineRunner", "BatchResults", "InvocationSpec", "predict", "recommend", "score"]
 
 
-def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True, **kwargs):
+def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True, mesh=None, distributed=False, **kwargs):
     """Batch-recommend for a set of users (reference: batch/__init__.py).
 
     With ``device=True`` (default), standard topn pipelines over
     embedding-family scorers run the whole batch in one jitted device
     program (lkpy_tpu.batch.device); other pipelines fall back to
-    per-query execution."""
+    per-query execution.  ``mesh`` shards the query batch over the mesh's
+    data axis; ``distributed=True`` additionally splits the query list
+    across processes and gathers results on the coordinator
+    (lkpy_tpu.batch.distributed — the reference's Ray fan-out analog)."""
     from lkpy_tpu.data import ItemListCollection
 
     if device and queries is None and not isinstance(users, ItemListCollection):
+        if distributed:
+            from lkpy_tpu.batch.device import supports_device_batch
+            from lkpy_tpu.batch.distributed import distributed_recommend
+
+            scorer = pipeline.node("scorer").component
+            lookup = pipeline.node("history-lookup").component
+            if supports_device_batch(scorer) and lookup.interactions is not None:
+                return distributed_recommend(
+                    scorer, users, n if n is not None else 10, lookup.interactions, mesh=mesh
+                )
         from lkpy_tpu.batch.device import try_device_recommend
 
-        fast = try_device_recommend(pipeline, users, n)
+        fast = try_device_recommend(pipeline, users, n, mesh=mesh)
         if fast is not None:
             return fast
     runner = BatchPipelineRunner(n_jobs=n_jobs)

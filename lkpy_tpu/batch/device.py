@@ -113,7 +113,7 @@ def _batch_topn(
     return vals, idx
 
 
-def try_device_recommend(pipeline, users, n: int | None) -> ItemListCollection | None:
+def try_device_recommend(pipeline, users, n: int | None, *, mesh=None) -> ItemListCollection | None:
     """
     Use the device batch path for a *standard* topn pipeline, if possible.
 
@@ -141,7 +141,7 @@ def try_device_recommend(pipeline, users, n: int | None) -> ItemListCollection |
         n = ranker.config.n
     if n is None or n < 0:
         return None
-    return device_recommend(scorer, users, n, lookup.interactions)
+    return device_recommend(scorer, users, n, lookup.interactions, mesh=mesh)
 
 
 def device_recommend(
@@ -152,6 +152,7 @@ def device_recommend(
     *,
     chunk: int = 1024,
     key_field: str = "user_id",
+    mesh=None,
 ) -> ItemListCollection:
     """
     Batch top-N recommendation fully on device.
@@ -162,21 +163,40 @@ def device_recommend(
         n: list length.
         matrix: the training interaction matrix (for history exclusion and
             user/item vocabularies).
+        mesh: optional device mesh — the query batch shards over its ``data``
+            axis (the TPU analog of the reference's Ray query fan-out,
+            batch/_ray.py); the item table is replicated and per-query top-n
+            needs no cross-device merge.
     """
     arrays = _extract_arrays(scorer)
     if arrays is None:
         raise TypeError(f"{type(scorer).__name__} does not support device batch scoring")
     sw = Stopwatch()
+    batch_shard = rep_shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_shard = {
+            1: NamedSharding(mesh, P("data")),
+            2: NamedSharding(mesh, P("data", None)),
+        }
+        rep_shard = NamedSharding(mesh, P())
+        d = mesh.shape["data"]
+        chunk = max(chunk, d) // d * d  # chunks divisible by the data axis
     users_vocab = matrix.row_vocabulary
     items_vocab = matrix.col_vocabulary
     n_items = len(items_vocab)
     csr = matrix.csr(None)
 
     i_emb = jnp.asarray(arrays["i_embed"], dtype=jnp.float32)
+    if rep_shard is not None:
+        i_emb = jax.device_put(i_emb, rep_shard)
     u_table = np.asarray(arrays["u_embed"], dtype=np.float32)
     u_bias_t = arrays.get("u_bias")
     i_bias = arrays.get("i_bias")
     i_bias_j = None if i_bias is None else jnp.asarray(i_bias, dtype=jnp.float32)
+    if rep_shard is not None and i_bias_j is not None:
+        i_bias_j = jax.device_put(i_bias_j, rep_shard)
     offset = jnp.float32(arrays.get("offset", 0.0))
 
     user_ids = np.asarray(user_ids)
@@ -198,6 +218,13 @@ def device_recommend(
         known = cn >= 0
         safe = np.where(known, cn, 0)
         B = hi - lo
+        if mesh is not None:
+            # pad the (possibly final partial) chunk so the batch dim splits
+            # evenly over the data axis; pads are dropped from the output
+            pad_b = (-B) % mesh.shape["data"]
+            if pad_b:
+                safe = np.concatenate([safe, np.zeros(pad_b, dtype=safe.dtype)])
+                known = np.concatenate([known, np.zeros(pad_b, dtype=bool)])
         # pad histories for the chunk (power-of-two width to bound recompiles)
         from lkpy_tpu.ops.sparse import pad_rows, round_up
 
@@ -205,16 +232,25 @@ def device_recommend(
         p = pad_rows(csr, width=H, rows=safe.astype(np.int32), field="rating")
         hist_cols = np.asarray(p.cols)
         hist_mask = np.asarray(p.mask) & known[:, None]
+
+        def place(arr, ndim=2):
+            a = jnp.asarray(arr)
+            if batch_shard is not None:
+                a = jax.device_put(a, batch_shard[ndim])
+            return a
+
+        hist_cols_j = place(hist_cols)
+        hist_mask_j = place(hist_mask)
         if use_fold:
             u_emb, ub = scorer.device_fold_in(
-                jnp.asarray(hist_cols), None if p.values is None else p.values, jnp.asarray(hist_mask)
+                hist_cols_j, None if p.values is None else place(p.values), hist_mask_j
             )
             u_bias_j = ub
         else:
-            u_emb = jnp.asarray(u_table[safe])
-            u_bias_j = None if u_bias_t is None else jnp.asarray(np.asarray(u_bias_t)[safe], dtype=jnp.float32)
+            u_emb = place(u_table[safe])
+            u_bias_j = None if u_bias_t is None else place(np.asarray(u_bias_t)[safe].astype(np.float32), 1)
         vals, idx = _batch_topn(
-            u_emb, i_emb, u_bias_j, i_bias_j, offset, jnp.asarray(hist_cols), jnp.asarray(hist_mask), n, n_items
+            u_emb, i_emb, u_bias_j, i_bias_j, offset, hist_cols_j, hist_mask_j, n, n_items
         )
         vals = np.asarray(vals)
         idx = np.asarray(idx)

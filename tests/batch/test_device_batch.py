@@ -53,3 +53,37 @@ def test_nonstandard_pipeline_falls_back(ml_ds):
     assert try_device_recommend(pipe, ml_ds.users.ids[:3], 10) is None
     recs = batch.recommend(pipe, ml_ds.users.ids[:3], n=10)
     assert len(recs) == 3
+
+
+def test_device_mesh_matches_single(mf_pipe, ml_ds):
+    """Mesh-sharded device batch must equal the unsharded device batch
+    (VERDICT r1 item 8: query fan-out over the data axis)."""
+    import jax
+
+    from lkpy_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    users = ml_ds.users.ids[:50]
+    single = batch.recommend(mf_pipe, users, n=10)
+    sharded = batch.recommend(mf_pipe, users, n=10, mesh=mesh)
+    assert len(single) == len(sharded)
+    for (k1, il1), (k2, il2) in zip(single.items(), sharded.items()):
+        assert k1 == k2
+        np.testing.assert_array_equal(il1.ids(), il2.ids())
+        np.testing.assert_allclose(il1.scores(), il2.scores(), rtol=1e-5)
+
+
+def test_distributed_recommend_single_process(mf_pipe, ml_ds):
+    """distributed=True in a single-process run equals the plain device path
+    (process split is identity; gather is a passthrough)."""
+    from lkpy_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    users = ml_ds.users.ids[:30]
+    plain = batch.recommend(mf_pipe, users, n=10)
+    dist = batch.recommend(mf_pipe, users, n=10, mesh=mesh, distributed=True)
+    assert dist is not None
+    assert len(dist) == len(plain)
+    for (k1, il1), (k2, il2) in zip(plain.items(), dist.items()):
+        assert k1 == k2
+        np.testing.assert_array_equal(il1.ids(), il2.ids())
