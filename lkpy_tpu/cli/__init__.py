@@ -25,6 +25,19 @@ def cli(verbose: int):
     if verbose:
         lc.set_verbose(verbose)
     lc.apply()
+    # honor JAX_PLATFORMS even when a site hook pre-imported jax and latched
+    # a different platform before env processing (restores documented JAX
+    # env semantics for CLI users)
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:  # backend already initialized
+            pass
 
 
 from lkpy_tpu.cli.config_cmd import config  # noqa: E402

@@ -64,6 +64,51 @@ def split(test_frac, n_users, seed, src, dst):
     click.echo(f"split {src}: train={tts.train.interaction_count}, test={tts.test_size}")
 
 
+@data.command("fetch")
+@click.option(
+    "--source-dir",
+    envvar="LK_DATA_DIR",
+    default=None,
+    help="local dataset mirror (env LK_DATA_DIR); network fetch is not available in air-gapped deployments",
+)
+@click.option("--convert/--no-convert", default=False, help="also convert to native format")
+@click.argument("name")
+@click.argument("dst", type=click.Path(), required=False)
+def fetch(source_dir, convert, name, dst):
+    """Fetch a named dataset (reference: cli/data/fetch.py).
+
+    The reference downloads from grouplens.org; deployments without egress
+    resolve ``NAME`` from a local mirror directory instead (``--source-dir``
+    or ``LK_DATA_DIR``).  With ``--convert`` the result is saved in native
+    format at DST."""
+    import shutil
+
+    candidates = [source_dir] if source_dir else []
+    candidates += ["/root/reference/data", "."]
+    src = None
+    for base in candidates:
+        if base and (Path(base) / name).exists():
+            src = Path(base) / name
+            break
+    if src is None:
+        raise click.ClickException(
+            f"dataset {name!r} not found in local mirrors {candidates}; "
+            "network fetch is unavailable (no egress) — place the dataset in "
+            "$LK_DATA_DIR and re-run"
+        )
+    dst = Path(dst or name)
+    if convert:
+        from lkpy_tpu.data import load_movielens
+
+        ds = load_movielens(src)
+        ds.save(dst)
+        click.echo(f"fetched {name} -> {dst} (native, {ds.interaction_count} interactions)")
+    else:
+        if dst.resolve() != src.resolve():
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        click.echo(f"fetched {name} -> {dst}")
+
+
 @data.command("subset")
 @click.option("--min-item-count", type=int, default=0)
 @click.option("--min-user-count", type=int, default=0)

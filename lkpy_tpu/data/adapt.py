@@ -40,6 +40,12 @@ def from_interactions_df(df: pd.DataFrame, *, name: str | None = None) -> Datase
     ``rating``/``timestamp`` (common aliases accepted).
     """
     df = normalize_interactions_df(df)
+    # drop stale row numbers from a source dataset (e.g. interaction_table
+    # output): numbers are only meaningful relative to THIS builder's
+    # vocabularies, which are derived from the ID columns
+    stale = [c for c in ("user_num", "item_num") if c in df.columns and c.replace("_num", "_id") in df.columns]
+    if stale:
+        df = df.drop(columns=stale)
     dsb = DatasetBuilder(name)
     dsb.add_interactions(
         "rating" if "rating" in df.columns else "interaction",

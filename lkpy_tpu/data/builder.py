@@ -106,6 +106,11 @@ class DatasetBuilder:
         for ent in entities:
             idc, numc = id_col_name(ent), num_col_name(ent)
             if numc in data.columns:
+                if ent not in self._ids:
+                    raise DataError(
+                        f"{numc} given but entity class {ent!r} has no vocabulary — "
+                        f"add_entities({ent!r}, ...) first, or pass {idc} instead"
+                    )
                 nums[ent] = data[numc].to_numpy().astype(np.int32)
                 continue
             if idc not in data.columns:

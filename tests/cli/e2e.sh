@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Shell-level CLI end-to-end test (reference: tests/cli/harness.sh +
+# test-train-recommend.sh): exercises the REAL command line — fetch/convert/
+# describe/split/subset, train -> recommend, doctor — with TAP-ish output.
+# Run directly or via tests/cli/test_cli_e2e.py.
+
+set -u
+export JAX_PLATFORMS=cpu
+REPO="$(cd "$(dirname "$0")/../.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+ML=/root/reference/data/ml-latest-small
+WORK="$(mktemp -d)"
+trap 'rm -rf "$WORK"' EXIT
+
+N=0
+FAIL=0
+check() {
+    N=$((N + 1))
+    if "$@" > "$WORK/out.$N" 2>&1; then
+        echo "ok $N - $*"
+    else
+        echo "not ok $N - $*"
+        sed 's/^/#   /' "$WORK/out.$N" | tail -20
+        FAIL=1
+    fi
+}
+
+cli() { python -m lkpy_tpu.cli "$@"; }
+
+check cli --help
+check cli data fetch ml-latest-small "$WORK/raw"
+check cli data convert --movielens "$ML" "$WORK/ds"
+check cli data describe "$WORK/ds"
+check cli data split --test-frac 0.2 --users 50 --seed 42 "$WORK/ds" "$WORK/split"
+check cli data subset --min-item-count 5 "$WORK/ds" "$WORK/dense"
+check cli train -m bias -o "$WORK/pipe.pkl" "$WORK/split/train"
+check test -s "$WORK/pipe.pkl"
+check cli recommend -m "$WORK/pipe.pkl" -n 5 1
+check cli doctor
+
+echo "1..$N"
+exit $FAIL
