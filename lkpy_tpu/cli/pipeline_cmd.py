@@ -26,12 +26,12 @@ def expand(model_spec, params, list_length, output):
     scorer = resolve_model(model_spec, parse_params(params))
     pipe = topn_pipeline(scorer, n=list_length, name=model_spec)
     cfg = pipe.get_config().model_dump(mode="json", exclude_none=True)
-    text = json.dumps(cfg, indent=2)
     if output:
-        with open(output, "w") as f:
-            f.write(text)
+        from lkpy_tpu.schemas import dump_model_data
+
+        dump_model_data(cfg, output)
     else:
-        click.echo(text)
+        click.echo(json.dumps(cfg, indent=2))
 
 
 @pipeline.command("diagram")

@@ -18,7 +18,7 @@ _log = get_logger(__name__)
 
 @click.command("train")
 @click.option("-m", "--model", "model_spec", help="model name or module:Class path")
-@click.option("-c", "--config", "config_file", type=click.Path(exists=True), help="pipeline config JSON")
+@click.option("-c", "--config", "config_file", type=click.Path(exists=True), help="pipeline config (JSON/TOML/YAML)")
 @click.option("-p", "--param", "params", multiple=True, help="model config parameter NAME=VALUE")
 @click.option("-o", "--output", type=click.Path(), required=True, help="output model file (.pkl[.gz])")
 @click.option("-n", "--list-length", type=int, default=None, help="default recommendation list length")
@@ -29,10 +29,10 @@ def train(model_spec, config_file, params, output, list_length, rng_seed, predic
     """Train a pipeline on DATA and pickle it (reference: cli/train.py)."""
     ds = load_dataset(data)
     if config_file:
-        import json
+        from lkpy_tpu.pipeline.config import PipelineConfig
+        from lkpy_tpu.schemas import load_model_data
 
-        with open(config_file) as f:
-            pipe = Pipeline.from_config(json.load(f))
+        pipe = Pipeline.from_config(load_model_data(config_file, PipelineConfig))
     elif model_spec:
         scorer = resolve_model(model_spec, parse_params(params))
         pipe = topn_pipeline(scorer, n=list_length, predicts_ratings=predicts_ratings, name=model_spec)

@@ -21,16 +21,11 @@ _log = get_logger(__name__)
 @click.argument("data", type=click.Path(exists=True))
 def tune(spec_file, output, test_frac, seed, data):
     """Tune hyperparameters on DATA per a tuning spec."""
-    import tomllib
-
+    from lkpy_tpu.schemas import load_model_data
     from lkpy_tpu.splitting import SampleFrac, sample_users
     from lkpy_tpu.tuning import PipelineTuner, TuningSpec
 
-    path = Path(spec_file)
-    if path.suffix == ".toml":
-        spec = TuningSpec.model_validate(tomllib.loads(path.read_text()))
-    else:
-        spec = TuningSpec.model_validate(json.loads(path.read_text()))
+    spec = load_model_data(Path(spec_file), TuningSpec)
 
     ds = load_dataset(data)
     split = sample_users(ds, max(ds.user_count // 5, 1), SampleFrac(test_frac, rng=seed), rng=seed)

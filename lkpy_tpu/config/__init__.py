@@ -43,12 +43,21 @@ class MachineSettings(BaseModel):
     "JAX platform preference."
 
 
+class PrometheusSettings(BaseModel):
+    """Prometheus power scrape (reference: schemas/settings.py:68): queries
+    return average Watts over the window; ``{elapsed}`` interpolates ms."""
+
+    url: str | None = None
+    power_queries: dict[str, str] = Field(default_factory=dict)
+
+
 class Settings(BaseModel):
     """Root settings (reference: schemas/settings.py:218)."""
 
     random_seed: int | None = None
     parallel: ParallelSettings = Field(default_factory=ParallelSettings)
     machine: MachineSettings = Field(default_factory=MachineSettings)
+    prometheus: PrometheusSettings = Field(default_factory=PrometheusSettings)
     data_dir: str | None = None
 
 

@@ -33,11 +33,18 @@ class Task(BaseModel):
     duration: float | None = None
     cpu_time: float | None = None
     peak_memory: int | None = None
+    system_power: float | None = None
+    "Estimated total system energy over the task (Joules)."
+    cpu_power: float | None = None
+    "Estimated CPU energy over the task (Joules)."
+    tpu_power: float | None = None
+    "Estimated TPU/accelerator energy over the task (Joules)."
     status: str = "pending"
     subtasks: list["Task"] = Field(default_factory=list)
 
     _save_file: Path | None = None
     _cpu0: tuple[float, float] | None = None
+    _energy0: Any = None
     _token: Any = None
 
     model_config = {"arbitrary_types_allowed": True}
@@ -52,8 +59,11 @@ class Task(BaseModel):
         return _current_task.get()
 
     def start(self):
+        from lkpy_tpu.logging.power import EnergySnapshot
+
         self.start_time = time.time()
         self._cpu0 = cpu_times()
+        self._energy0 = EnergySnapshot()
         self.status = "running"
         parent = _current_task.get()
         if parent is not None and parent is not self:
@@ -67,12 +77,27 @@ class Task(BaseModel):
             u, s = cpu_times()
             self.cpu_time = (u - self._cpu0[0]) + (s - self._cpu0[1])
         self.peak_memory = max_memory()
+        self._measure_energy()
         self.status = status
         if self._token is not None:
             _current_task.reset(self._token)
             self._token = None
         if self._save_file:
             self.save(self._save_file)
+
+    def _measure_energy(self):
+        """Record per-scope energy (reference: tasks.py:399-401): cumulative
+        counters (registered meter / RAPL) preferred, Prometheus rate queries
+        as fallback; all best-effort."""
+        from lkpy_tpu.logging.power import EnergySnapshot, measure_energy
+
+        fields = {"system": "system_power", "cpu": "cpu_power", "tpu": "tpu_power"}
+        deltas = EnergySnapshot().delta(self._energy0) if self._energy0 is not None else {}
+        for scope, field in fields.items():
+            if scope in deltas:
+                setattr(self, field, deltas[scope])
+            elif self.duration:
+                setattr(self, field, measure_energy(scope, self.duration))
 
     def save(self, path: Path | str):
         Path(path).write_text(self.model_dump_json(indent=2))

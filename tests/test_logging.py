@@ -69,3 +69,47 @@ def test_monitor_roundtrip(caplog):
         bad.close()
     finally:
         mon.shutdown()
+
+
+def test_task_energy_meter(tmp_path):
+    """Tasks record per-scope Joules from a cumulative meter
+    (reference: logging/tasks.py:399-401 power fields)."""
+    from lkpy_tpu.logging.power import register_energy_meter
+
+    counters = {"system": 100.0, "cpu": 40.0}
+
+    def meter(scope):
+        return counters.get(scope)
+
+    register_energy_meter(meter)
+    try:
+        with Task("metered") as t:
+            counters["system"] += 12.5
+            counters["cpu"] += 5.0
+    finally:
+        register_energy_meter(None)
+    assert t.system_power == pytest.approx(12.5)
+    assert t.cpu_power == pytest.approx(5.0)
+    assert t.tpu_power is None  # meter reports no tpu scope
+    # power fields survive serialization
+    loaded = Task.model_validate_json(t.model_dump_json())
+    assert loaded.system_power == pytest.approx(12.5)
+
+
+def test_task_energy_absent():
+    """No meter, no RAPL, no Prometheus -> power fields stay None."""
+    with Task("unmetered") as t:
+        pass
+    assert t.system_power is None and t.cpu_power is None
+
+
+def test_rapl_meter(tmp_path):
+    from lkpy_tpu.logging.power import RaplMeter
+
+    zone = tmp_path / "intel-rapl:0"
+    zone.mkdir()
+    (zone / "energy_uj").write_text("5000000")
+    m = RaplMeter(tmp_path)
+    assert m.available
+    assert m("cpu") == pytest.approx(5.0)
+    assert m("tpu") is None
