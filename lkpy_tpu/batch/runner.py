@@ -8,6 +8,15 @@ Runs pipeline invocations over batches of queries.  Execution modes:
 - thread pool (``n_jobs > 1``; reference's free-threaded path,
   _runner.py:292-308 — here threads overlap host prep with device compute),
 
+Thread-safety contract (reference gates threading on free-threaded builds,
+_runner.py:292-308; this framework makes the contract explicit instead):
+worker threads share ONE pipeline, so component ``__call__`` must be
+read-only with respect to component state — trained parameters are
+immutable jax/numpy arrays and every run gets a private ``PipelineRunner``
+state dict, so all in-tree components satisfy this.  A component that
+mutates shared state at inference time must guard it itself or be run with
+``n_jobs=1``.
+
 Query normalization follows the reference (batch/_queries.py:178): inputs
 may be an ItemListCollection (keys become queries, lists become candidate
 ``items`` for predict/score), a sequence of user IDs, or a mapping.

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import csv
 import gzip
+import threading
 from pathlib import Path
 from typing import TextIO
 
@@ -21,7 +22,11 @@ __all__ = ["PipelineProfiler", "summarize_profile"]
 
 
 class PipelineProfiler:
-    """Collect per-component wall-times as CSV rows (one row per run)."""
+    """Collect per-component wall-times as CSV rows (one row per run).
+
+    ``record`` is thread-safe: the thread-mode batch runner profiles runs
+    from multiple worker threads concurrently.
+    """
 
     def __init__(self, pipeline, file: Path | str):
         self.path = Path(file)
@@ -31,9 +36,11 @@ class PipelineProfiler:
         self.output: TextIO = opener(self.path, "wt")
         self.writer = csv.DictWriter(self.output, stages, extrasaction="ignore")
         self.writer.writeheader()
+        self._lock = threading.Lock()
 
     def record(self, record: dict[str, float]):
-        self.writer.writerow(record)
+        with self._lock:
+            self.writer.writerow(record)
 
     def close(self):
         self.output.close()

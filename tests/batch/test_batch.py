@@ -57,3 +57,20 @@ def test_bias_accuracy_gate(ml_ds):
     summary = res.list_summary()
     rmse = summary.loc["RMSE", "mean"]
     assert 0.8 < rmse < 1.05
+
+
+def test_threaded_profile_csv(bias_pipe, ml_ds, tmp_path):
+    """Concurrent profiled runs write one well-formed CSV row per query
+    (PipelineProfiler.record is locked; see batch/runner.py thread contract)."""
+    from lkpy_tpu.batch.runner import BatchPipelineRunner
+    from lkpy_tpu.pipeline.profiling import PipelineProfiler, summarize_profile
+
+    users = ml_ds.users.ids[:24]
+    prof_file = tmp_path / "prof.csv"
+    runner = BatchPipelineRunner(n_jobs=4, progress=False)
+    runner.recommend(n=5)
+    with PipelineProfiler(bias_pipe, prof_file) as prof:
+        runner.run(bias_pipe, users, profile=prof)
+    summary = summarize_profile(prof_file)
+    assert (summary["runs"] == 24).all()
+    assert (summary["mean_ms"] > 0).all()
