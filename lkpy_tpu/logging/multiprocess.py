@@ -33,15 +33,19 @@ class Monitor:
     """Singleton ZMQ monitor collecting log records from workers
     (reference: _monitor.py:111)."""
 
-    def __init__(self):
+    def __init__(self, address: str | None = None, auth_key: bytes | None = None):
+        """Bind to ``address`` (default: a fresh IPC socket; pass a
+        ``tcp://host:port`` endpoint for cross-host relay) with ``auth_key``
+        (default: random; share it with remote workers out-of-band, e.g. the
+        LKT_LOG_RELAY_KEY env var)."""
         import zmq
 
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.PULL)
-        addr = f"ipc:///tmp/lkt-monitor-{os.getpid()}-{secrets.token_hex(4)}"
+        addr = address or f"ipc:///tmp/lkt-monitor-{os.getpid()}-{secrets.token_hex(4)}"
         self._sock.bind(addr)
         self.address = addr
-        self.auth_key = secrets.token_bytes(32)
+        self.auth_key = auth_key if auth_key is not None else secrets.token_bytes(32)
         self._shutdown = threading.Event()
         self._thread = threading.Thread(target=self._run, name="lkt-monitor", daemon=True)
         self._thread.start()

@@ -18,7 +18,14 @@ from lkpy_tpu.logging import get_logger
 
 _log = get_logger(__name__)
 
-__all__ = ["init_distributed", "is_coordinator", "host_count", "host_index", "local_device_count"]
+__all__ = [
+    "init_distributed",
+    "setup_log_relay",
+    "is_coordinator",
+    "host_count",
+    "host_index",
+    "local_device_count",
+]
 
 _initialized = False
 
@@ -56,10 +63,43 @@ def init_distributed(
             process=jax.process_index(),
             n_processes=jax.process_count(),
         )
+        setup_log_relay()
         return True
     except (RuntimeError, ValueError) as e:
         _log.warning("distributed init failed; running single-host", error=str(e))
         return False
+
+
+def setup_log_relay(address: str | None = None, key_hex: str | None = None) -> object | None:
+    """
+    Hook up the multi-host log relay (reference's ZMQ monitor role,
+    src/lenskit/logging/multiprocess/_monitor.py:111): the coordinator binds
+    the singleton :class:`~lkpy_tpu.logging.multiprocess.Monitor` on a TCP
+    endpoint and worker hosts forward their log records to it, so a pod run
+    has one consolidated log stream on host 0.
+
+    Configured by ``LKT_LOG_RELAY=tcp://host:port`` + ``LKT_LOG_RELAY_KEY``
+    (hex auth key, shared out-of-band — typically the job launcher exports
+    both on every host).  No-op (returns None) when unconfigured or
+    single-process.
+    """
+    address = address or os.environ.get("LKT_LOG_RELAY")
+    key_hex = key_hex or os.environ.get("LKT_LOG_RELAY_KEY")
+    if not address or not key_hex or jax.process_count() < 2:
+        return None
+    key = bytes.fromhex(key_hex)
+    import lkpy_tpu.logging.multiprocess as mp
+
+    if jax.process_index() == 0:
+        with mp._monitor_lock:
+            if mp._monitor is None:
+                mp._monitor = mp.Monitor(address=address, auth_key=key)
+        _log.info("log relay monitor bound", address=address)
+        return mp._monitor
+    ctx = mp.WorkerContext(address, key)
+    ctx.install_handler()
+    _log.info("log relay worker attached", address=address)
+    return ctx
 
 
 def is_coordinator() -> bool:

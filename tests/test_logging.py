@@ -113,3 +113,43 @@ def test_rapl_meter(tmp_path):
     assert m.available
     assert m("cpu") == pytest.approx(5.0)
     assert m("tpu") is None
+
+
+def test_distributed_log_relay(monkeypatch, caplog):
+    """setup_log_relay binds the monitor on the coordinator and forwards
+    worker logs to it (parallel/distributed.py multi-host log plane)."""
+    import jax
+
+    from lkpy_tpu.parallel.distributed import setup_log_relay
+
+    addr = "tcp://127.0.0.1:29765"
+    key = "ab" * 32
+    monkeypatch.setenv("LKT_LOG_RELAY", addr)
+    monkeypatch.setenv("LKT_LOG_RELAY_KEY", key)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    # coordinator role binds the monitor
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    mon = setup_log_relay()
+    assert mon is not None and mon.address == addr
+    try:
+        # worker role attaches and forwards
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        ctx = setup_log_relay()
+        assert ctx is not None and ctx is not mon
+        with caplog.at_level(logging.INFO):
+            ctx.send_log("worker.test", logging.INFO, "hello from host 1")
+            deadline = time.time() + 5
+            while "hello from host 1" not in caplog.text and time.time() < deadline:
+                time.sleep(0.05)
+        assert "hello from host 1" in caplog.text
+        ctx.close()
+    finally:
+        shutdown_monitor()
+
+
+def test_log_relay_unconfigured(monkeypatch):
+    from lkpy_tpu.parallel.distributed import setup_log_relay
+
+    monkeypatch.delenv("LKT_LOG_RELAY", raising=False)
+    assert setup_log_relay() is None
