@@ -32,6 +32,10 @@ def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True
     from lkpy_tpu.data import ItemListCollection
 
     if device and queries is None and not isinstance(users, ItemListCollection):
+        users = _flatten_user_ids(users)
+        if users is None:
+            device = False
+    if device and queries is None and not isinstance(users, ItemListCollection):
         if distributed:
             from lkpy_tpu.batch.device import supports_device_batch
             from lkpy_tpu.batch.distributed import distributed_recommend
@@ -51,6 +55,36 @@ def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True
     runner.recommend(n=n)
     res = runner.run(pipeline, users if queries is None else queries)
     return res.output("recommendations")
+
+
+def _flatten_user_ids(users):
+    """Normalize a user-query sequence to a flat ID array for the device
+    batch path; returns None when the inputs need per-query handling
+    (RecQuery objects, mappings with candidate lists, ...).  Accepts plain
+    IDs and single-field key tuples (e.g. ``split.test.keys()``)."""
+    import numpy as np
+
+    try:
+        seq = list(users)
+    except TypeError:
+        return None
+    flat = []
+    for u in seq:
+        if isinstance(u, tuple):
+            if len(u) != 1:
+                return None
+            u = u[0]
+        elif hasattr(u, "_fields"):  # namedtuple key
+            vals = tuple(u)
+            if len(vals) != 1:
+                return None
+            u = vals[0]
+        if isinstance(u, np.generic):
+            u = u.item()
+        if not isinstance(u, (int, str, np.integer)):
+            return None
+        flat.append(u)
+    return np.asarray(flat)
 
 
 def predict(pipeline, pairs, *, n_jobs=None, **kwargs):

@@ -87,3 +87,26 @@ def test_distributed_recommend_single_process(mf_pipe, ml_ds):
     for (k1, il1), (k2, il2) in zip(plain.items(), dist.items()):
         assert k1 == k2
         np.testing.assert_array_equal(il1.ids(), il2.ids())
+
+
+def test_device_tuple_keyed_users(mf_pipe, ml_ds):
+    """Key-tuple query lists (e.g. ``split.test.keys()``) flatten onto the
+    device batch path instead of producing rank-3 history arrays."""
+    users = ml_ds.users.ids[:12]
+    as_keys = [(u,) for u in users]
+    fast = batch.recommend(mf_pipe, as_keys, n=5)
+    plain = batch.recommend(mf_pipe, users, n=5)
+    assert len(fast) == 12
+    for (k1, il1), (k2, il2) in zip(plain.items(), fast.items()):
+        assert k1 == k2
+        assert list(il1.ids()) == list(il2.ids())
+
+
+def test_flatten_user_ids():
+    from lkpy_tpu.batch import _flatten_user_ids
+    from lkpy_tpu.data import RecQuery
+
+    assert list(_flatten_user_ids([1, 2, np.int64(3)])) == [1, 2, 3]
+    assert list(_flatten_user_ids([("a",), ("b",)])) == ["a", "b"]
+    assert _flatten_user_ids([(1, 2)]) is None  # compound keys
+    assert _flatten_user_ids([RecQuery(user_id=1)]) is None  # needs per-query path
