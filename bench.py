@@ -152,11 +152,15 @@ def main():
         # force a device->host readback so timing covers actual execution
         return float(jnp.sum(x))
 
+    from lkpy_tpu.ops.als import warm_epoch_programs
+
     tw = time.time()
+    # serialized compile+load priming (see ops/als.py warm_epoch_programs)
+    warm_epoch_programs(u_buckets, i_buckets, N_USERS, N_ITEMS, K, "implicit")
     u, i = epoch(u, i)
     sync(i)
     warmup_s = time.time() - tw
-    log(f"warm-up epoch (incl. compile): {warmup_s:.1f}s")
+    log(f"warm-up (priming + first epoch): {warmup_s:.1f}s")
 
     ts = time.time()
     for _ in range(EPOCHS):

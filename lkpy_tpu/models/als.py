@@ -178,6 +178,12 @@ class ALSTrainerBase(ModelTrainer):
         k = self.config.embedding_size
         self.u_factors = self._place(self.initial_params(ui_csr.nrows, k))
         self.i_factors = self._place(self.initial_params(ui_csr.ncols, k))
+        if jax.default_backend() == "tpu":
+            # serialized compile+load priming — on remote TPU backends the
+            # async first-epoch path pays minutes otherwise (see ops/als.py)
+            als_ops.warm_epoch_programs(
+                self.u_buckets, self.i_buckets, ui_csr.nrows, ui_csr.ncols, k, self.mode, mesh=self.mesh
+            )
 
     def _place(self, arr):
         if self.mesh is not None:

@@ -43,6 +43,7 @@ __all__ = [
     "implicit_otor",
     "solve_row_explicit",
     "solve_row_implicit",
+    "warm_epoch_programs",
 ]
 
 
@@ -169,10 +170,13 @@ def chunk_buckets(
     out = []
     for b in buckets:
         Bn, P = b.cols.shape
-        step = max(entries // max(P, 1), 8)
-        step = max((step // (8 * d)) * (8 * d), 8 * d)
-        step = min(step, ((Bn + 8 * d - 1) // (8 * d)) * (8 * d))
-        pad = (-Bn) % step
+        step0 = max(entries // max(P, 1), 8 * d)
+        # pick the chunk count FIRST, then size chunks to fit exactly: padding
+        # is < 8·d rows total, instead of up to a whole near-empty chunk of
+        # dummy rows (each dummy row costs a full solve)
+        C = max(-(-Bn // step0), 1)
+        step = -(-Bn // (C * 8 * d)) * (8 * d)
+        pad = C * step - Bn
         rows = jnp.pad(b.rows, (0, pad), constant_values=np.iinfo(np.int32).max)
         cols = jnp.pad(b.cols, ((0, pad), (0, 0)))
         mask = jnp.pad(b.mask, ((0, pad), (0, 0)))
@@ -198,42 +202,36 @@ def chunk_buckets(
     return tuple(out)
 
 
-def _half_epoch_body(left, right, reg, chunks, mode: str, rep=None):
-    """Traced half-epoch: scan each bucket's fixed-shape chunks.
+@jax.jit
+def _solve_scan_implicit(cols, conf, mask, right, otor):
+    """Scan one bucket's fixed-shape chunks; returns stacked solutions.
 
-    The whole half runs as ONE XLA program — the reference's per-row rayon
-    loop (explicit.rs:62) becomes a handful of scanned bucket solves fused
-    into a single dispatch, which matters doubly here because each dispatch
-    to a (possibly remote) TPU costs far more than the compute per bucket.
-    """
-    otor = implicit_otor(right, reg) if mode == "implicit" else None
-    n_rows = left.shape[0]
-    delta_sq = jnp.float32(0.0)
+    The body does NOT carry the output table: solves depend only on
+    ``right``, so the solutions stack and scatter once per bucket
+    (:func:`_apply_update`).  Carry-free scans compile an order of magnitude
+    faster than table-carrying ones (no donated-buffer aliasing through the
+    loop) at identical runtime — measured on v5e."""
 
-    def body(carry, xs):
-        left, dsq = carry
-        rows, cols, vals, mask = xs
-        if mode == "explicit":
-            x = solve_explicit_bucket(cols, vals, mask, right, reg)
-        else:
-            x = solve_implicit_bucket(cols, vals, mask, right, otor)
-        valid = (rows < n_rows)[:, None]
-        # dummy (padded) rows solve a singular system — select them out
-        # before they can poison the table or the delta
-        x = jnp.where(valid, x, 0.0)
-        dsq = dsq + jnp.sum(jnp.square(x - left[rows]) * valid)
-        left = left.at[rows].set(x, mode="drop")
-        if rep is not None:
-            left = jax.lax.with_sharding_constraint(left, rep)
-        return (left, dsq), None
+    def body(_, xs):
+        c, v, m = xs
+        return None, solve_implicit_bucket(c, v, m, right, otor)
 
-    for ch in chunks:
-        (left, delta_sq), _ = jax.lax.scan(body, (left, delta_sq), tuple(ch))
-    return left, delta_sq
+    _, out = jax.lax.scan(body, None, (cols, conf, mask))
+    return out
+
+
+@jax.jit
+def _solve_scan_explicit(cols, vals, mask, right, reg):
+    def body(_, xs):
+        c, v, m = xs
+        return None, solve_explicit_bucket(c, v, m, right, reg)
+
+    _, out = jax.lax.scan(body, None, (cols, vals, mask))
+    return out
 
 
 @lru_cache(maxsize=None)
-def _half_epoch_fn(mode: str, mesh):
+def _apply_update_fn(mesh):
     rep = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P_
@@ -241,27 +239,73 @@ def _half_epoch_fn(mode: str, mesh):
         rep = NamedSharding(mesh, P_())
 
     @partial(jax.jit, donate_argnums=(0,))
-    def half(left, right, reg, chunks):
-        return _half_epoch_body(left, right, reg, chunks, mode, rep)
+    def apply_update(left, rows, xs, dsq):
+        """Scatter one bucket's stacked solutions into the table + delta.
 
-    return half
+        Dummy (padded) rows solved a meaningless system — zero them before
+        they can poison the table or the delta."""
+        n_rows = left.shape[0]
+        rows = rows.reshape(-1)
+        x = xs.reshape(-1, xs.shape[-1])
+        valid = (rows < n_rows)[:, None]
+        # dummy rows may have solved to NaN/Inf — mask BEFORE any arithmetic
+        x = jnp.where(valid, x, 0.0)
+        dsq = dsq + jnp.sum(jnp.square(jnp.where(valid, x - left[rows], 0.0)))
+        left = left.at[rows].set(x, mode="drop")
+        if rep is not None:
+            left = jax.lax.with_sharding_constraint(left, rep)
+        return left, dsq
+
+    return apply_update
 
 
-@lru_cache(maxsize=None)
-def _epoch_fn(mode: str, mesh):
-    rep = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P_
+def warm_epoch_programs(u_chunks, i_chunks, n_users: int, n_items: int, k: int, mode: str, mesh=None):
+    """Prime every per-bucket epoch program with a serialized dummy run.
 
-        rep = NamedSharding(mesh, P_())
+    The first call of each program compiles it AND loads it onto the device;
+    on remote (tunneled) backends those first calls must be SERIAL and
+    host-synchronized — measured on a remote v5e, the cold ML-20M epoch runs
+    in ~84 s this way, where enqueueing the same first calls asynchronously
+    (the normal epoch path) took 400–1050 s, and calling AOT-compiled
+    executables was no better.  Subsequent epochs then run fully async at
+    steady-state speed.  Costs one epoch of throwaway device work.
+    """
+    apply_update = _apply_update_fn(mesh)
+    for chunks, n_left, n_right in ((u_chunks, n_users, n_items), (i_chunks, n_items, n_users)):
+        right = jnp.zeros((n_right, k), jnp.float32)
+        otor = jnp.eye(k, dtype=jnp.float32)  # non-singular dummy
+        for ch in chunks:
+            C, B, _P = ch.cols.shape
+            if mode == "explicit":
+                xs = _solve_scan_explicit(ch.cols, ch.values, ch.mask, right, jnp.float32(0.1))
+            else:
+                xs = _solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+            jax.block_until_ready(xs)
+            left = jnp.zeros((n_left, k), jnp.float32)
+            out = apply_update(left, ch.rows, xs, jnp.float32(0.0))
+            jax.block_until_ready(out)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch(left, right, left_reg, right_reg, left_chunks, right_chunks):
-        left, dl = _half_epoch_body(left, right, left_reg, left_chunks, mode, rep)
-        right, dr = _half_epoch_body(right, left, right_reg, right_chunks, mode, rep)
-        return left, right, dl, dr
 
-    return epoch
+def _run_half(left, right, reg, chunks, mode: str, mesh):
+    """One half-epoch as a pipeline of per-bucket programs.
+
+    Deliberately NOT one fused program: per-bucket programs each compile in
+    3–8 s (83 s cold for the full ML-20M epoch) where the fused epoch took
+    841 s — XLA compile passes scale superlinearly in program size — and the
+    separately-dispatched solves also run ~25% faster (42.2M vs 33.8M
+    examples/s measured).  All calls enqueue asynchronously; nothing here
+    blocks on the device, the delta stays a device scalar.
+    """
+    apply_update = _apply_update_fn(mesh)
+    otor = implicit_otor(right, reg) if mode == "implicit" else None
+    dsq = jnp.float32(0.0)
+    for ch in chunks:
+        if mode == "explicit":
+            xs = _solve_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
+        else:
+            xs = _solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+        left, dsq = apply_update(left, ch.rows, xs, dsq)
+    return left, dsq
 
 
 def _as_chunks(buckets, mesh):
@@ -297,7 +341,7 @@ def als_half_epoch(
         matches the reference's convergence metric (explicit.rs ``frob``).
     """
     chunks = _as_chunks(buckets, mesh)
-    left, delta_sq = _half_epoch_fn(mode, mesh)(left, jnp.asarray(right), jnp.float32(reg), chunks)
+    left, delta_sq = _run_half(left, jnp.asarray(right), jnp.float32(reg), chunks, mode, mesh)
     return left, float(jnp.sqrt(delta_sq))
 
 
@@ -313,8 +357,10 @@ def als_epoch(
     mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """
-    One full ALS epoch (user half, then item half) as ONE device program.
+    One full ALS epoch (user half, then item half), fully async.
 
+    Each bucket runs as its own small program (see :func:`_run_half` for why
+    that beats one fused epoch program on both compile time and throughput).
     No host synchronization: the returned update deltas are device scalars —
     convert with ``float`` only when a convergence check actually needs them.
     ``u_buckets``/``i_buckets`` may be bucket lists or pre-built
@@ -324,7 +370,8 @@ def als_epoch(
     """
     u_chunks = _as_chunks(u_buckets, mesh)
     i_chunks = _as_chunks(i_buckets, mesh)
-    u, i, du, di = _epoch_fn(mode, mesh)(u, i, jnp.float32(u_reg), jnp.float32(i_reg), u_chunks, i_chunks)
+    u, du = _run_half(u, i, jnp.float32(u_reg), u_chunks, mode, mesh)
+    i, di = _run_half(i, u, jnp.float32(i_reg), i_chunks, mode, mesh)
     return u, i, jnp.sqrt(du), jnp.sqrt(di)
 
 
