@@ -87,3 +87,46 @@ def test_retrieval_topk_dispatch():
     rv, ri = _oracle(Q, I, 5, i_bias=bias)
     np.testing.assert_allclose(np.asarray(vals), rv, rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), ri)
+
+
+def test_approx_retrieval_matches_exact():
+    """The chunked approx_max_k serving path (ops/topk.py::_approx_retrieval)
+    agrees with exact top-k (CPU backends implement approx_max_k exactly;
+    TPU recall@100 = 0.997 measured at recall_target=0.99)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lkpy_tpu.ops.topk import _approx_retrieval
+
+    rng = np.random.default_rng(3)
+    items = jnp.asarray(rng.standard_normal((4096, 16)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    v, i = _approx_retrieval(q, items, items[:, 0] * 0.0, 10, 32, 0.99, False)
+    import jax
+
+    ev, ei = jax.lax.top_k(jnp.dot(q, items.T), 10)
+    recall = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(np.asarray(i), np.asarray(ei))])
+    assert recall >= 0.95
+    # scores of returned items are genuine dot products
+    np.testing.assert_allclose(
+        np.asarray(v[0]),
+        np.asarray(jnp.dot(q[0], items.T))[np.asarray(i[0])],
+        rtol=1e-5,
+    )
+
+
+def test_approx_retrieval_bias_and_padding():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lkpy_tpu.ops.topk import _approx_retrieval
+
+    rng = np.random.default_rng(4)
+    items = jnp.asarray(rng.standard_normal((1024, 8)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(1024).astype(np.float32) * 10)
+    q = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+    v, i = _approx_retrieval(q, items, bias, 5, 16, 0.99, True)
+    scores = np.asarray(jnp.dot(q, items.T) + bias[None, :])
+    expect = np.argsort(-scores, axis=1)[:, :5]
+    hit = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5 for a, b in zip(np.asarray(i), expect)])
+    assert hit >= 0.9
