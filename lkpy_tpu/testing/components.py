@@ -59,6 +59,12 @@ class ScorerTests(BasicComponentTests):
     #: config used by the (slow) accuracy-gate tests; defaults to ``config``.
     #: Grid tests run tiny configs for speed, gates run realistic ones.
     eval_config: object | None = None
+    #: dataset the fast grid trains on: "full" (ml-latest-small) or "dense"
+    #: (the >=20-ratings-per-item subset) — closed-form models whose train
+    #: cost scales with the item-catalog square (SLIM/EASE/association) use
+    #: the dense subset to keep the fast suite fast; accuracy gates are
+    #: unaffected (they pick their own dataset).
+    grid_dataset: str = "full"
 
     def _make_eval(self):
         if self.eval_config is not None:
@@ -66,9 +72,13 @@ class ScorerTests(BasicComponentTests):
         return self._make()
 
     @pytest.fixture(scope="class")
-    def trained(self, ml_ds: Dataset):
+    def grid_ds(self, ml_ds: Dataset, ml_dense_ds: Dataset) -> Dataset:
+        return ml_dense_ds if self.grid_dataset == "dense" else ml_ds
+
+    @pytest.fixture(scope="class")
+    def trained(self, grid_ds: Dataset):
         comp = self._make()
-        comp.train(ml_ds, TrainingOptions(rng=42))
+        comp.train(grid_ds, TrainingOptions(rng=42))
         return comp
 
     def _query(self, ml_ds, user_id=1):
@@ -86,34 +96,34 @@ class ScorerTests(BasicComponentTests):
             return trained(query=query, items=items)
         return trained(items=items)
 
-    def test_score_known_items(self, trained, ml_ds):
-        out = self._score(trained, ItemList(item_ids=[31, 1029, 296]), self._query(ml_ds))
+    def test_score_known_items(self, trained, grid_ds):
+        out = self._score(trained, ItemList(item_ids=[31, 1029, 296]), self._query(grid_ds))
         assert len(out) == 3
         s = out.scores()
         assert s is not None
         if self.can_score == "all":
             assert np.isfinite(s).all()
 
-    def test_score_unknown_item(self, trained, ml_ds):
-        out = self._score(trained, ItemList(item_ids=[9999999]), self._query(ml_ds))
+    def test_score_unknown_item(self, trained, grid_ds):
+        out = self._score(trained, ItemList(item_ids=[9999999]), self._query(grid_ds))
         assert len(out) == 1
 
-    def test_score_unknown_user(self, trained, ml_ds):
+    def test_score_unknown_user(self, trained, grid_ds):
         q = RecQuery(user_id=99999999)
         out = self._score(trained, ItemList(item_ids=[31]), q)
         assert len(out) == 1
 
-    def test_empty_query(self, trained, ml_ds):
+    def test_empty_query(self, trained, grid_ds):
         out = self._score(trained, ItemList(item_ids=[31, 1029]), RecQuery())
         assert len(out) == 2
 
-    def test_empty_items(self, trained, ml_ds):
-        out = self._score(trained, ItemList(), self._query(ml_ds))
+    def test_empty_items(self, trained, grid_ds):
+        out = self._score(trained, ItemList(), self._query(grid_ds))
         assert len(out) == 0
 
-    def test_pickle_roundtrip(self, trained, ml_ds):
+    def test_pickle_roundtrip(self, trained, grid_ds):
         copy = pickle.loads(pickle.dumps(trained))
-        q = self._query(ml_ds)
+        q = self._query(grid_ds)
         items = ItemList(item_ids=[31, 1029, 296])
         a = self._score(copy, items, q).scores()
         b = self._score(trained, items, q).scores()
@@ -122,9 +132,9 @@ class ScorerTests(BasicComponentTests):
             return
         np.testing.assert_allclose(a, b, equal_nan=True, rtol=1e-6)
 
-    def test_topn_pipeline_run(self, ml_ds):
+    def test_topn_pipeline_run(self, grid_ds):
         pipe = topn_pipeline(self._make(), n=10)
-        pipe.train(ml_ds, TrainingOptions(rng=42))
+        pipe.train(grid_ds, TrainingOptions(rng=42))
         from lkpy_tpu import recommend
 
         recs = recommend(pipe, query=1, n=10)

@@ -61,6 +61,7 @@ class TestItemKNNImplicitGrid(ScorerTests):
 class TestEASEGrid(ScorerTests):
     component = EASEScorer
     can_score = "some"
+    grid_dataset = "dense"  # closed-form inverse scales with catalog^2
     # measured NDCG@20 0.264 (reference gate >= 0.01, test_ease.py:44)
     expected_ndcg = 0.10
 
@@ -104,6 +105,7 @@ class TestSLIMGrid(ScorerTests):
 
     component = SLIMScorer
     can_score = "some"
+    grid_dataset = "dense"  # FISTA cost scales with catalog^2; full ml_ds took 380s
     # measured NDCG@20 0.342 (reference gate 0.2-0.4, test_slim.py:37)
     expected_ndcg = 0.20
 
@@ -113,6 +115,7 @@ class TestAssociationGrid(ScorerTests):
 
     component = AssociationScorer
     can_score = "some"
+    grid_dataset = "dense"
     # measured NDCG@20 0.237 (reference gate >= 0.01, test_association.py:15)
     expected_ndcg = 0.10
 
