@@ -57,12 +57,15 @@ def batched_spd_solve(A: jax.Array, y: jax.Array) -> jax.Array:
     Solve ``A x = y`` for a batch of small SPD systems (B, k, k) × (B, k).
 
     On TPU this dispatches to the Pallas Gauss-Jordan kernel
-    (:func:`lkpy_tpu.ops.pallas_solve.spd_solve`): XLA's batched
-    ``cholesky``/``cho_solve`` lowers to a sequential blocked factorization
-    that measured 145 ms for 16k k=64 systems on v5e (~80% of an ALS epoch);
-    the VMEM-resident kernel does the same solves in 43 ms.  Off-TPU the
-    LAPACK-backed Cholesky path is fastest (same contract as the reference's
-    ``sposv``, src/accel/als/solve.rs:47).
+    (:func:`lkpy_tpu.ops.pallas_solve.spd_solve`) — it compiles in seconds,
+    which matters because this fused gram+solve program is instantiated once
+    per bucket width.  Large buckets bypass this entirely: the epoch path
+    routes them through the blocked batched Cholesky
+    (:func:`lkpy_tpu.ops.solve.blocked_spd_solve`, 20.9 ms vs 42.6 ms for
+    16k k=64 systems on v5e) via ONE shared compiled program
+    (:func:`_solve_large_bucket`).  Off-TPU the LAPACK-backed Cholesky path
+    is fastest (same contract as the reference's ``sposv``,
+    src/accel/als/solve.rs:47).
     """
     k = y.shape[1]
     if jax.default_backend() == "tpu" and k <= 256:
@@ -202,6 +205,85 @@ def chunk_buckets(
     return tuple(out)
 
 
+#: row threshold above which a bucket's solves route through the shared
+#: blocked-Cholesky program instead of the per-bucket fused Pallas solve
+_BLOCKED_MIN_ROWS = 32_768
+#: blocked-solve batch (rows per dispatch of the shared program)
+_SOLVE_BATCH = 16_384
+
+
+@jax.jit
+def _gram_scan_implicit(cols, conf, mask, right, otor):
+    """Per-chunk normal equations only (no solve): returns A (C,B,k,k), y (C,B,k)."""
+
+    def body(_, xs):
+        c, v, m = xs
+        G = right[c]
+        cm = v * m.astype(right.dtype)
+        A = otor[None, :, :] + jnp.einsum("bpi,bp,bpj->bij", G, cm, G, preferred_element_type=jnp.float32)
+        y = jnp.einsum("bpi,bp->bi", G, (v + 1.0) * m, preferred_element_type=jnp.float32)
+        return None, (A, y)
+
+    _, out = jax.lax.scan(body, None, (cols, conf, mask))
+    return out
+
+
+@jax.jit
+def _gram_scan_explicit(cols, vals, mask, right, reg):
+    def body(_, xs):
+        c, v, m = xs
+        G = right[c]
+        mm = m.astype(right.dtype)
+        Gm = G * mm[:, :, None]
+        A = jnp.einsum("bpi,bpj->bij", Gm, G, preferred_element_type=jnp.float32)
+        n_u = jnp.sum(mm, axis=1)
+        k = right.shape[1]
+        A = A + (reg * n_u)[:, None, None] * jnp.eye(k, dtype=A.dtype)
+        y = jnp.einsum("bpi,bp->bi", Gm, v, preferred_element_type=jnp.float32)
+        return None, (A, y)
+
+    _, out = jax.lax.scan(body, None, (cols, vals, mask))
+    return out
+
+
+@partial(jax.jit, static_argnames=("sb",))
+def _blocked_solve_slice(A_flat, y_flat, off, sb: int):
+    """Solve ``sb`` systems starting at traced offset ``off`` — ONE compiled
+    program reused for every slice of every large bucket."""
+    from lkpy_tpu.ops.solve import blocked_spd_solve
+
+    A = jax.lax.dynamic_slice_in_dim(A_flat, off, sb, axis=0)
+    y = jax.lax.dynamic_slice_in_dim(y_flat, off, sb, axis=0)
+    return blocked_spd_solve(A, y)
+
+
+def _solve_large_bucket(A, y):
+    """Solve a large bucket's stacked systems via the shared blocked program.
+
+    ``A`` (C, B, k, k) / ``y`` (C, B, k) flatten to N rows and are processed
+    in ``_SOLVE_BATCH`` slices; the final slice starts at ``N - sb`` (overlap
+    recompute instead of padding — identical results, no wasted dummy
+    solves).  The blocked-Cholesky program unrolls 8 panel steps and costs
+    ~20 s to compile, so it is compiled ONCE (per operand shape) and reused
+    across slices and epochs — that is the point of this detour.
+    """
+    C, B, k = y.shape
+    N = C * B
+    A_flat = A.reshape(N, k, k)
+    y_flat = y.reshape(N, k)
+    sb = _SOLVE_BATCH
+    chunks = []
+    offs = list(range(0, N - sb + 1, sb))
+    if offs[-1] + sb < N:
+        offs.append(N - sb)
+    for off in offs:
+        chunks.append(_blocked_solve_slice(A_flat, y_flat, jnp.int32(off), sb))
+    covered = offs[-2] + sb if len(offs) > 1 else 0
+    tail = N - covered  # rows of the last (overlapping) slice that are new
+    xs = jnp.concatenate(chunks[:-1] + [chunks[-1][sb - tail :]], axis=0) if len(offs) > 1 else chunks[0][:N]
+    return xs.reshape(C, B, k)
+
+
 @jax.jit
 def _solve_scan_implicit(cols, conf, mask, right, otor):
     """Scan one bucket's fixed-shape chunks; returns stacked solutions.
@@ -271,12 +353,20 @@ def warm_epoch_programs(u_chunks, i_chunks, n_users: int, n_items: int, k: int, 
     steady-state speed.  Costs one epoch of throwaway device work.
     """
     apply_update = _apply_update_fn(mesh)
+    on_tpu = jax.default_backend() == "tpu"
     for chunks, n_left, n_right in ((u_chunks, n_users, n_items), (i_chunks, n_items, n_users)):
         right = jnp.zeros((n_right, k), jnp.float32)
         otor = jnp.eye(k, dtype=jnp.float32)  # non-singular dummy
         for ch in chunks:
             C, B, _P = ch.cols.shape
-            if mode == "explicit":
+            if on_tpu and mesh is None and C * B >= _BLOCKED_MIN_ROWS:
+                if mode == "explicit":
+                    A, y = _gram_scan_explicit(ch.cols, ch.values, ch.mask, right, jnp.float32(0.1))
+                else:
+                    A, y = _gram_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+                jax.block_until_ready(y)
+                xs = _solve_large_bucket(A, y)
+            elif mode == "explicit":
                 xs = _solve_scan_explicit(ch.cols, ch.values, ch.mask, right, jnp.float32(0.1))
             else:
                 xs = _solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
@@ -298,9 +388,20 @@ def _run_half(left, right, reg, chunks, mode: str, mesh):
     """
     apply_update = _apply_update_fn(mesh)
     otor = implicit_otor(right, reg) if mode == "implicit" else None
+    on_tpu = jax.default_backend() == "tpu"
     dsq = jnp.float32(0.0)
     for ch in chunks:
-        if mode == "explicit":
+        C, B, _P = ch.cols.shape
+        if on_tpu and mesh is None and C * B >= _BLOCKED_MIN_ROWS:
+            # large bucket: build normal equations per width, solve through
+            # the ONE shared blocked-Cholesky program (2× the Pallas GJ
+            # throughput at 1/13th of its per-bucket compile cost)
+            if mode == "explicit":
+                A, y = _gram_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
+            else:
+                A, y = _gram_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+            xs = _solve_large_bucket(A, y)
+        elif mode == "explicit":
             xs = _solve_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
         else:
             xs = _solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)

@@ -106,3 +106,29 @@ def test_solve_row_matches_bucket(rand_csr):
     x = als_ops.solve_row_explicit(cols, vals, right, 0.1)
     expected = oracle_explicit(rand_csr, right, 0.1)[r]
     np.testing.assert_allclose(x, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_large_bucket_solve_matches_fused(monkeypatch, rand_csr):
+    """The shared blocked-Cholesky path (_gram_scan + _solve_large_bucket)
+    produces the same solutions as the fused per-bucket solve."""
+    import jax.numpy as jnp
+
+    import lkpy_tpu.ops.als as als_ops
+    from lkpy_tpu.ops.sparse import bucket_rows
+
+    rng = np.random.default_rng(9)
+    right = jnp.asarray(rng.standard_normal((rand_csr.ncols, 8)).astype(np.float32))
+    otor = als_ops.implicit_otor(right, jnp.float32(0.1))
+    buckets = als_ops.chunk_buckets(bucket_rows(rand_csr, field="rating"), entries=512)
+    monkeypatch.setattr(als_ops, "_SOLVE_BATCH", 16)
+    checked = 0
+    for ch in buckets:
+        C, B, _P = ch.cols.shape
+        if C * B < 32:
+            continue
+        fused = als_ops._solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+        A, y = als_ops._gram_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+        xs = als_ops._solve_large_bucket(A, y)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(fused), rtol=2e-4, atol=2e-4)
+        checked += 1
+    assert checked > 0
