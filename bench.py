@@ -19,7 +19,7 @@ Prints ONE JSON line:
 is a faithful C++/OpenMP port of the reference's Rust implicit-ALS kernel
 (reference: src/accel/als/implicit.rs:26; the reference itself cannot be
 installed — its accelerator needs rustc, absent from this image), measured on
-this host via _measure_cpu_baseline.py.  See CPU_BASELINE_* below.
+this host via benchmarks/_measure_cpu_baseline.py.  See CPU_BASELINE_* below.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-# measured by _measure_cpu_baseline.py on this host (2 cores, g++ -O3
+# measured by benchmarks/_measure_cpu_baseline.py on this host (2 cores, g++ -O3
 # -march=native -fopenmp, 2 timed epochs on the identical synthetic dataset);
 # see BASELINE_CPU.json for the raw record
 CPU_BASELINE_EXAMPLES_PER_S = 3.497e6

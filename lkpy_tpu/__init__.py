@@ -15,6 +15,10 @@ Public surface mirrors the reference's top-level exports
 
 __version__ = "0.1.0"
 
+from lkpy_tpu.config import ensure_compile_cache as _ensure_compile_cache
+
+_ensure_compile_cache()
+
 from lkpy_tpu.data import Dataset, DatasetBuilder, ItemList, ItemListCollection, RecQuery, Vocabulary
 from lkpy_tpu.operations import predict, recommend, score
 from lkpy_tpu.pipeline import Component, Pipeline, PipelineBuilder, RecPipelineBuilder, topn_pipeline

@@ -32,9 +32,11 @@ def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True
     from lkpy_tpu.data import ItemListCollection
 
     if device and queries is None and not isinstance(users, ItemListCollection):
-        users = _flatten_user_ids(users)
-        if users is None:
+        flat = _flatten_user_ids(users)
+        if flat is None:
             device = False
+        else:
+            users = flat
     if device and queries is None and not isinstance(users, ItemListCollection):
         if distributed:
             from lkpy_tpu.batch.device import supports_device_batch
@@ -48,7 +50,7 @@ def recommend(pipeline, users, n=None, *, queries=None, n_jobs=None, device=True
                 )
         from lkpy_tpu.batch.device import try_device_recommend
 
-        fast = try_device_recommend(pipeline, users, n, mesh=mesh)
+        fast = try_device_recommend(pipeline, users, n, mesh=mesh, exact=kwargs.get("exact"))
         if fast is not None:
             return fast
     runner = BatchPipelineRunner(n_jobs=n_jobs)
@@ -62,8 +64,14 @@ def _flatten_user_ids(users):
     batch path; returns None when the inputs need per-query handling
     (RecQuery objects, mappings with candidate lists, ...).  Accepts plain
     IDs and single-field key tuples (e.g. ``split.test.keys()``)."""
+    from collections.abc import Mapping
+
     import numpy as np
 
+    if isinstance(users, Mapping):
+        # Mapping inputs carry per-query candidate lists in the values;
+        # list(users) would silently drop them — take the runner path.
+        return None
     try:
         seq = list(users)
     except TypeError:

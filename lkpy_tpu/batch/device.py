@@ -86,7 +86,7 @@ def _extract_arrays(scorer) -> dict | None:
     return None
 
 
-@partial(jax.jit, static_argnames=("n", "n_items"))
+@partial(jax.jit, static_argnames=("n", "n_items", "method"))
 def _batch_topn(
     u_emb,  # (B, k)
     i_emb,  # (n_items, k)
@@ -97,7 +97,41 @@ def _batch_topn(
     hist_mask,  # (B, H) bool
     n: int,
     n_items: int,
+    method: str = "exact",
 ):
+    """Score all items for a user chunk and take the masked top-n.
+
+    ``method="exact"`` materializes the (B, n_items) score matrix and runs
+    the exact sort-based ``lax.top_k`` — right for small catalogs where XLA
+    fuses the whole thing on-chip.  ``method="approx"`` is the large-catalog
+    serving path (reference analog: batch/_runner.py:256 is the serving
+    surface): the scores only ever exist one (sub, n_items) slab at a time
+    inside a scan, history exclusion is scattered per-slab, and the TPU
+    hardware TopK (``lax.approx_max_k``) replaces the sort.
+    """
+    if method == "approx":
+        B = u_emb.shape[0]
+        sub = _approx_sub_chunk(B)
+        ub = jnp.zeros((B,), jnp.float32) if u_bias is None else u_bias
+
+        def body(_, xs):
+            ue, u_b, hc, hm = xs
+            s = jnp.dot(ue, i_emb.T, preferred_element_type=jnp.float32)
+            if i_bias is not None:
+                s = s + i_bias[None, :]
+            s = s + u_b[:, None] + offset
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, hc.shape, 0)
+            tgt = jnp.where(hm, hc, n_items)
+            s = s.at[r_ids, tgt].set(-jnp.inf, mode="drop")
+            v, i = jax.lax.approx_max_k(s, n, recall_target=0.99, aggregate_to_topk=True)
+            return None, (v, i)
+
+        xs = tuple(
+            a.reshape(B // sub, sub, *a.shape[1:]) for a in (u_emb, ub, hist_cols, hist_mask)
+        )
+        _, (v, i) = jax.lax.scan(body, None, xs)
+        return v.reshape(B, n), i.reshape(B, n).astype(jnp.int32)
+
     scores = jnp.dot(u_emb, i_emb.T, preferred_element_type=jnp.float32)  # (B, n_items)
     if i_bias is not None:
         scores = scores + i_bias[None, :]
@@ -105,7 +139,6 @@ def _batch_topn(
         scores = scores + u_bias[:, None]
     scores = scores + offset
     # mask training history: scatter -inf at rated positions
-    B = hist_cols.shape[0]
     r_ids = jax.lax.broadcasted_iota(jnp.int32, hist_cols.shape, 0)
     tgt = jnp.where(hist_mask, hist_cols, n_items)
     scores = scores.at[r_ids, tgt].set(-jnp.inf, mode="drop")
@@ -113,7 +146,15 @@ def _batch_topn(
     return vals, idx
 
 
-def try_device_recommend(pipeline, users, n: int | None, *, mesh=None) -> ItemListCollection | None:
+def _approx_sub_chunk(B: int) -> int:
+    """Largest power-of-two sub-chunk ≤ 256 that divides the batch."""
+    sub = 256
+    while sub > 1 and B % sub:
+        sub //= 2
+    return sub
+
+
+def try_device_recommend(pipeline, users, n: int | None, *, mesh=None, exact=None) -> ItemListCollection | None:
     """
     Use the device batch path for a *standard* topn pipeline, if possible.
 
@@ -141,7 +182,7 @@ def try_device_recommend(pipeline, users, n: int | None, *, mesh=None) -> ItemLi
         n = ranker.config.n
     if n is None or n < 0:
         return None
-    return device_recommend(scorer, users, n, lookup.interactions, mesh=mesh)
+    return device_recommend(scorer, users, n, lookup.interactions, mesh=mesh, exact=exact)
 
 
 def device_recommend(
@@ -153,6 +194,7 @@ def device_recommend(
     chunk: int = 1024,
     key_field: str = "user_id",
     mesh=None,
+    exact: bool | None = None,
 ) -> ItemListCollection:
     """
     Batch top-N recommendation fully on device.
@@ -167,7 +209,13 @@ def device_recommend(
             axis (the TPU analog of the reference's Ray query fan-out,
             batch/_ray.py); the item table is replicated and per-query top-n
             needs no cross-device merge.
+        exact: force exact (True) or hardware-TopK approximate (False)
+            retrieval; ``None`` (default) picks the hardware TopK on TPU for
+            catalogs ≥ 200k items (recall@n ≥ 0.99, logged once) and exact
+            otherwise.
     """
+    from lkpy_tpu.ops.topk import FUSED_RETRIEVAL_MIN_ITEMS, _warn_approx_once
+
     arrays = _extract_arrays(scorer)
     if arrays is None:
         raise TypeError(f"{type(scorer).__name__} does not support device batch scoring")
@@ -187,6 +235,19 @@ def device_recommend(
     items_vocab = matrix.col_vocabulary
     n_items = len(items_vocab)
     csr = matrix.csr(None)
+
+    if exact is None:
+        method = (
+            "approx"
+            if jax.default_backend() == "tpu" and n_items >= FUSED_RETRIEVAL_MIN_ITEMS
+            else "exact"
+        )
+    else:
+        method = "exact" if exact else "approx"
+    if method == "approx":
+        _warn_approx_once(n_items, 0.99)
+        # pad chunks to a 256 multiple so the scan sub-chunk stays MXU-sized
+        chunk = max(chunk, 256) // 256 * 256
 
     i_emb = jnp.asarray(arrays["i_embed"], dtype=jnp.float32)
     if rep_shard is not None:
@@ -218,13 +279,18 @@ def device_recommend(
         known = cn >= 0
         safe = np.where(known, cn, 0)
         B = hi - lo
-        if mesh is not None:
-            # pad the (possibly final partial) chunk so the batch dim splits
-            # evenly over the data axis; pads are dropped from the output
-            pad_b = (-B) % mesh.shape["data"]
-            if pad_b:
-                safe = np.concatenate([safe, np.zeros(pad_b, dtype=safe.dtype)])
-                known = np.concatenate([known, np.zeros(pad_b, dtype=bool)])
+        # pad the (possibly final partial) chunk so the batch dim splits
+        # evenly over the data axis and, on the approx path, keeps the scan
+        # sub-chunk MXU-sized; pads are dropped from the output
+        pad_mult = mesh.shape["data"] if mesh is not None else 1
+        if method == "approx":
+            import math
+
+            pad_mult = math.lcm(pad_mult, 256)
+        pad_b = (-B) % pad_mult
+        if pad_b:
+            safe = np.concatenate([safe, np.zeros(pad_b, dtype=safe.dtype)])
+            known = np.concatenate([known, np.zeros(pad_b, dtype=bool)])
         # pad histories for the chunk (power-of-two width to bound recompiles)
         from lkpy_tpu.ops.sparse import pad_rows, round_up
 
@@ -250,7 +316,7 @@ def device_recommend(
             u_emb = place(u_table[safe])
             u_bias_j = None if u_bias_t is None else place(np.asarray(u_bias_t)[safe].astype(np.float32), 1)
         vals, idx = _batch_topn(
-            u_emb, i_emb, u_bias_j, i_bias_j, offset, hist_cols_j, hist_mask_j, n, n_items
+            u_emb, i_emb, u_bias_j, i_bias_j, offset, hist_cols_j, hist_mask_j, n, n_items, method
         )
         vals = np.asarray(vals)
         idx = np.asarray(idx)

@@ -153,7 +153,11 @@ class BatchPipelineRunner:
         for inv in self.invocations:
             kwargs: dict[str, Any] = {"query": query}
             kwargs.update(inv.extra_inputs)
-            if items is not None and inv.name in ("predict", "score"):
+            if items is not None:
+                # candidate lists feed the pipeline's "items" input; for the
+                # standard topn pipeline, use_first_of(items, selector) makes
+                # them the candidate set (reference: batch/_queries.py — ILC
+                # values are the candidates for every invocation kind)
                 kwargs["items"] = items
             nodes = list(inv.components.values())
             state = pipeline.run_all(*nodes, _profile=getattr(self, "_profiler", None), **kwargs)

@@ -20,7 +20,16 @@ from typing import Any, Literal
 
 from pydantic import BaseModel, Field, model_validator
 
-__all__ = ["Settings", "ParallelSettings", "MachineSettings", "lkpy_tpu_config", "configure", "EmbeddingSizeMixin"]
+__all__ = [
+    "Settings",
+    "ParallelSettings",
+    "MachineSettings",
+    "CompileCacheSettings",
+    "lkpy_tpu_config",
+    "configure",
+    "ensure_compile_cache",
+    "EmbeddingSizeMixin",
+]
 
 CONFIG_FILES = ["lkpy-tpu.toml", "lkpy-tpu.local.toml"]
 ENV_PREFIX = "LKT_"
@@ -51,6 +60,23 @@ class PrometheusSettings(BaseModel):
     power_queries: dict[str, str] = Field(default_factory=dict)
 
 
+class CompileCacheSettings(BaseModel):
+    """Persistent XLA compilation cache.
+
+    TPU compiles are expensive (seconds to minutes per program, and the
+    bench showed a 107 s cold start dominating a 1.6 s train); caching them
+    on disk makes the *second* process start warm.  On by default for every
+    entry point (library, CLI, bench) — the reference has no analog because
+    its kernels are ahead-of-time compiled Rust.
+    """
+
+    enabled: bool = True
+    dir: str | None = None
+    "Cache directory; default ``~/.cache/lkpy_tpu/xla`` (or $LKT_CACHE_DIR)."
+    min_compile_secs: float = 1.0
+    "Only persist programs that took at least this long to compile."
+
+
 class Settings(BaseModel):
     """Root settings (reference: schemas/settings.py:218)."""
 
@@ -58,6 +84,7 @@ class Settings(BaseModel):
     parallel: ParallelSettings = Field(default_factory=ParallelSettings)
     machine: MachineSettings = Field(default_factory=MachineSettings)
     prometheus: PrometheusSettings = Field(default_factory=PrometheusSettings)
+    compile_cache: CompileCacheSettings = Field(default_factory=CompileCacheSettings)
     data_dir: str | None = None
 
 
@@ -131,6 +158,43 @@ def configure(**kwargs):
         yield merged
     finally:
         _overrides.reset(token)
+
+
+_cache_configured = False
+
+
+def ensure_compile_cache() -> None:
+    """Configure JAX's persistent compilation cache from settings.
+
+    Idempotent and safe to call before or after other jax use; called
+    automatically on ``import lkpy_tpu``.  Set
+    ``compile_cache.enabled = false`` (or ``LKT_COMPILE_CACHE_ENABLED=false``)
+    to opt out.
+    """
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    cc = lkpy_tpu_config().compile_cache
+    if not cc.enabled:
+        return
+    # CPU compiles are fast and CPU AOT cache entries are machine-feature
+    # sensitive (cross-machine loads warn about SIGILL risk); the cache
+    # exists for the expensive TPU compiles, so skip explicit-CPU runs
+    # unless the user configured a cache dir themselves.
+    if cc.dir is None and "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return
+    cache_dir = cc.dir or os.environ.get("LKT_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = str(Path.home() / ".cache" / "lkpy_tpu" / "xla")
+    try:
+        import jax
+
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", cc.min_compile_secs)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 
 class EmbeddingSizeMixin:

@@ -242,24 +242,62 @@ class FlexMFImplicitScorer(FlexMFScorerBase):
 # ---------------------------------------------------------------------------
 # trainers
 class FlexMFTrainerBase(ModelTrainer):
-    """Batching/optimizer driver (reference: _training.py:39)."""
+    """Batching/optimizer driver (reference: _training.py:39).
+
+    When ``TrainingOptions.mesh`` is set, the embedding tables are
+    row-sharded over the mesh's ``model`` axis and each batch is sharded
+    over ``data`` — GSPMD inserts the embedding all-gathers and the psum
+    gradient reduction (the reference's torch loop is single-device;
+    this is the scaling path, SURVEY.md §2.3)."""
 
     def __init__(self, component: FlexMFScorerBase, data: Dataset, options: TrainingOptions):
+        from lkpy_tpu.parallel.gradient import table_rows
+
         self.component = component
         self.config = component.config
+        self.mesh = options.mesh
         self.rng = options.random_generator()
         self.key = jax.random.key(int_seed(options.rng))
         component.users = data.users
         component.items = data.items
         self.n_users = data.user_count
         self.n_items = data.item_count
+        self.nu_pad = table_rows(self.n_users, self.mesh)
+        self.ni_pad = table_rows(self.n_items, self.mesh)
         self.epochs_trained = 0
         self.prepare_data(data)
         self.key, k = jax.random.split(self.key)
-        self.params = self.init_model(k)
+        self.params = self._place(self.init_model(k))
         self.opt = self.make_optimizer()
-        self.opt_state = self.opt.init(self.params)
-        self._step = self.build_step()
+        self.opt_state = self._place(self.opt.init(self.params))
+        self._step = self._jit_step(self.build_step())
+
+    @property
+    def _sharded_rows(self) -> set[int]:
+        return {self.nu_pad, self.ni_pad}
+
+    def _place(self, tree):
+        from lkpy_tpu.parallel.gradient import place_tree
+
+        return place_tree(self.mesh, tree, self._sharded_rows)
+
+    def _jit_step(self, step):
+        from lkpy_tpu.parallel.gradient import jit_sharded_step
+
+        return jit_sharded_step(
+            step, self.mesh, self.params, self.opt_state, self.n_batch_args, self._sharded_rows
+        )
+
+    def _place_batch(self, arrs):
+        if self.mesh is None:
+            return arrs
+        from lkpy_tpu.parallel.gradient import batch_sharding
+
+        bs = batch_sharding(self.mesh)
+        return tuple(jax.device_put(a, bs) for a in arrs)
+
+    #: number of per-batch arrays fed to the step after (params, opt_state, key)
+    n_batch_args = 2
 
     def make_optimizer(self):
         cfg = self.config
@@ -285,6 +323,10 @@ class FlexMFTrainerBase(ModelTrainer):
         n = len(self._users)
         perm = self.rng.permutation(n)
         bs = min(self.config.batch_size, n)
+        if self.mesh is not None:
+            # batch dim must split evenly over the data axis
+            d = self.mesh.shape["data"]
+            bs = max(d, bs - bs % d)
         for lo in range(0, n, bs):
             idx = perm[lo : lo + bs]
             if len(idx) < bs:
@@ -298,7 +340,7 @@ class FlexMFTrainerBase(ModelTrainer):
         for idx in self.epoch_batches():
             self.key, k = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, k, *self.batch_arrays(idx)
+                self.params, self.opt_state, k, *self._place_batch(self.batch_arrays(idx))
             )
             total += float(loss)
             count += 1
@@ -308,21 +350,37 @@ class FlexMFTrainerBase(ModelTrainer):
     def batch_arrays(self, idx):
         raise NotImplementedError
 
+    def _table_size(self, name: str) -> int:
+        return self.n_users if name.startswith("u_") else self.n_items
+
+    def _trim(self, params: dict) -> dict:
+        """Strip mesh-padding rows back to the real user/item counts."""
+        return {k: np.asarray(v)[: self._table_size(k)] for k, v in params.items()}
+
     def finalize(self):
-        self.component.params = {k: np.asarray(v) for k, v in self.final_params().items()}
+        self.component.params = self._trim(self.final_params())
 
     def final_params(self):
         return self.params
 
     def get_parameters(self):
-        return {k: np.asarray(v) for k, v in self.params.items()}
+        return self._trim(self.params)
 
     def load_parameters(self, state):
-        self.params = {k: jnp.asarray(v) for k, v in state.items()}
-        self.opt_state = self.opt.init(self.params)
+        params = {}
+        for k, v in state.items():
+            v = np.asarray(v)
+            rows = self.nu_pad if k.startswith("u_") else self.ni_pad
+            if v.shape[0] < rows:
+                v = np.concatenate([v, np.zeros((rows - v.shape[0],) + v.shape[1:], v.dtype)])
+            params[k] = jnp.asarray(v)
+        self.params = self._place(params)
+        self.opt_state = self._place(self.opt.init(self.params))
 
 
 class FlexMFExplicitTrainer(FlexMFTrainerBase):
+    n_batch_args = 3
+
     def prepare_data(self, data: Dataset):
         csr = data.interaction_matrix().csr("rating")
         if csr.values is None:
@@ -335,7 +393,7 @@ class FlexMFExplicitTrainer(FlexMFTrainerBase):
         self._ratings = (coo.values - mean).astype(np.float32)
 
     def init_model(self, key):
-        return init_params(key, self.n_users, self.n_items, self.config.embedding_size, True, True)
+        return init_params(key, self.nu_pad, self.ni_pad, self.config.embedding_size, True, True)
 
     def batch_arrays(self, idx):
         return (
@@ -356,7 +414,6 @@ class FlexMFExplicitTrainer(FlexMFTrainerBase):
                 loss = loss + reg * jnp.mean(norm)
             return loss
 
-        @jax.jit
         def step(params, opt_state, key, users, items, ratings):
             loss, grads = jax.value_and_grad(loss_fn)(params, users, items, ratings)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -378,12 +435,14 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
             deg_u = np.maximum(np.diff(csr.rowptr), 1).astype(np.float32)
             deg_i = np.maximum(np.bincount(coo.col, minlength=self.n_items), 1).astype(np.float32)
             vals = 1.0 / np.sqrt(deg_u[coo.row] * deg_i[coo.col])
+            # segment counts use the mesh-padded table sizes so the
+            # propagated embeddings keep the (padded) table shape
             self.conv = (
                 jnp.asarray(coo.row),
                 jnp.asarray(coo.col),
                 jnp.asarray(vals.astype(np.float32)),
-                self.n_users,
-                self.n_items,
+                self.nu_pad,
+                self.ni_pad,
             )
 
     def init_model(self, key):
@@ -392,7 +451,7 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
         if user_bias is None:
             user_bias = cfg.loss == "logistic"
         return init_params(
-            key, self.n_users, self.n_items, cfg.embedding_size, user_bias, cfg.item_bias
+            key, self.nu_pad, self.ni_pad, cfg.embedding_size, user_bias, cfg.item_bias
         )
 
     def batch_arrays(self, idx):
@@ -471,7 +530,6 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
                 loss = loss + reg * 0.5 * (jnp.mean(pos_norm) + jnp.mean(neg_norm))
             return loss
 
-        @jax.jit
         def step(params, opt_state, key, users, pos):
             loss, grads = jax.value_and_grad(loss_fn)(params, key, users, pos)
             updates, opt_state = opt.update(grads, opt_state, params)

@@ -122,14 +122,21 @@ class LightGCNTrainer(ModelTrainer):
     """Trainer (reference: lightgcn.py:186; BPR/logistic at :312,319)."""
 
     def __init__(self, scorer: LightGCNScorer, data: Dataset, options: TrainingOptions):
+        from lkpy_tpu.parallel.gradient import jit_sharded_step, place_tree, table_rows
+
         self.scorer = scorer
         self.config = scorer.config
+        self.mesh = options.mesh
         scorer.users = data.users
         scorer.items = data.items
         self.rng = options.random_generator()
         self.key = jax.random.key(int_seed(options.rng))
         self.n_users = data.user_count
         self.n_items = data.item_count
+        # tables are row-sharded over the mesh's 'model' axis when training
+        # distributed (SURVEY.md §2.3); pad row counts to shard evenly
+        self.nu_pad = table_rows(self.n_users, self.mesh)
+        self.ni_pad = table_rows(self.n_items, self.mesh)
         self.epochs_trained = 0
 
         csr = data.interaction_matrix().csr(None)
@@ -144,18 +151,23 @@ class LightGCNTrainer(ModelTrainer):
             jnp.asarray(coo.row),
             jnp.asarray(coo.col),
             jnp.asarray(vals),
-            self.n_users,
-            self.n_items,
+            self.nu_pad,
+            self.ni_pad,
         )
         self.blend = jnp.asarray(self.config.blend_weights())
 
         self.key, k = jax.random.split(self.key)
-        self.params = init_params(
-            k, self.n_users, self.n_items, self.config.embedding_size, False, False
+        rows = {self.nu_pad, self.ni_pad}
+        self.params = place_tree(
+            self.mesh,
+            init_params(k, self.nu_pad, self.ni_pad, self.config.embedding_size, False, False),
+            rows,
         )
         self.opt = optax.adam(self.config.learning_rate)
-        self.opt_state = self.opt.init(self.params)
-        self._step = self._build_step()
+        self.opt_state = place_tree(self.mesh, self.opt.init(self.params), rows)
+        self._step = jit_sharded_step(
+            self._build_step(), self.mesh, self.params, self.opt_state, 2, rows
+        )
 
     def _build_step(self):
         cfg = self.config
@@ -190,7 +202,6 @@ class LightGCNTrainer(ModelTrainer):
                 loss = loss + reg * 0.5 * n0
             return loss
 
-        @jax.jit
         def step(params, opt_state, key, users, pos):
             loss, grads = jax.value_and_grad(loss_fn)(params, key, users, pos)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -203,6 +214,9 @@ class LightGCNTrainer(ModelTrainer):
         n = len(self._users)
         perm = self.rng.permutation(n)
         bs = min(self.config.batch_size, n)
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            bs = max(d, bs - bs % d)
         total = 0.0
         count = 0
         for lo in range(0, n, bs):
@@ -210,13 +224,13 @@ class LightGCNTrainer(ModelTrainer):
             if len(idx) < bs:
                 idx = np.concatenate([idx, self.rng.choice(n, size=bs - len(idx))])
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, loss = self._step(
-                self.params,
-                self.opt_state,
-                k,
-                jnp.asarray(self._users[idx]),
-                jnp.asarray(self._items[idx]),
-            )
+            batch = (jnp.asarray(self._users[idx]), jnp.asarray(self._items[idx]))
+            if self.mesh is not None:
+                from lkpy_tpu.parallel.gradient import batch_sharding
+
+                sh = batch_sharding(self.mesh)
+                batch = tuple(jax.device_put(a, sh) for a in batch)
+            self.params, self.opt_state, loss = self._step(self.params, self.opt_state, k, *batch)
             total += float(loss)
             count += 1
         self.epochs_trained += 1
@@ -224,12 +238,23 @@ class LightGCNTrainer(ModelTrainer):
 
     def finalize(self):
         u_eff, i_eff = propagate(self.params["u_embed"], self.params["i_embed"], self.conv, self.blend)
-        self.scorer.user_embeddings = np.asarray(u_eff)
-        self.scorer.item_embeddings = np.asarray(i_eff)
+        self.scorer.user_embeddings = np.asarray(u_eff)[: self.n_users]
+        self.scorer.item_embeddings = np.asarray(i_eff)[: self.n_items]
 
     def get_parameters(self):
-        return {k: np.asarray(v) for k, v in self.params.items()}
+        sizes = {"u_embed": self.n_users, "i_embed": self.n_items}
+        return {k: np.asarray(v)[: sizes.get(k, None)] for k, v in self.params.items()}
 
     def load_parameters(self, state):
-        self.params = {k: jnp.asarray(v) for k, v in state.items()}
-        self.opt_state = self.opt.init(self.params)
+        from lkpy_tpu.parallel.gradient import place_tree
+
+        rows = {self.nu_pad, self.ni_pad}
+        params = {}
+        for k, v in state.items():
+            v = np.asarray(v)
+            pad_to = self.nu_pad if k.startswith("u_") else self.ni_pad
+            if v.shape[0] < pad_to:
+                v = np.concatenate([v, np.zeros((pad_to - v.shape[0],) + v.shape[1:], v.dtype)])
+            params[k] = jnp.asarray(v)
+        self.params = place_tree(self.mesh, params, rows)
+        self.opt_state = place_tree(self.mesh, self.opt.init(self.params), rows)

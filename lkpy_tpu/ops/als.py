@@ -246,14 +246,14 @@ def _gram_scan_explicit(cols, vals, mask, right, reg):
     return out
 
 
-@partial(jax.jit, static_argnames=("sb",))
-def _blocked_solve_slice(A_flat, y_flat, off, sb: int):
-    """Solve ``sb`` systems starting at traced offset ``off`` — ONE compiled
-    program reused for every slice of every large bucket."""
+@jax.jit
+def _blocked_solve_slice(A, y):
+    """Solve one fixed-shape (sb, k, k) slice — ONE compiled program reused
+    for every slice of every large bucket regardless of bucket row count
+    (the slicing happens eagerly in the caller, so this never specializes on
+    the full flattened shape)."""
     from lkpy_tpu.ops.solve import blocked_spd_solve
 
-    A = jax.lax.dynamic_slice_in_dim(A_flat, off, sb, axis=0)
-    y = jax.lax.dynamic_slice_in_dim(y_flat, off, sb, axis=0)
     return blocked_spd_solve(A, y)
 
 
@@ -277,7 +277,7 @@ def _solve_large_bucket(A, y):
     if offs[-1] + sb < N:
         offs.append(N - sb)
     for off in offs:
-        chunks.append(_blocked_solve_slice(A_flat, y_flat, jnp.int32(off), sb))
+        chunks.append(_blocked_solve_slice(A_flat[off : off + sb], y_flat[off : off + sb]))
     covered = offs[-2] + sb if len(offs) > 1 else 0
     tail = N - covered  # rows of the last (overlapping) slice that are new
     xs = jnp.concatenate(chunks[:-1] + [chunks[-1][sb - tail :]], axis=0) if len(offs) > 1 else chunks[0][:N]

@@ -46,13 +46,29 @@ def _approx_retrieval(queries, items, i_bias, k: int, chunk: int, recall_target:
     return v.reshape(B, k), i.reshape(B, k).astype(jnp.int32)
 
 
+_warned_approx = False
+
+
+def _warn_approx_once(n_items: int, recall_target: float) -> None:
+    global _warned_approx
+    if not _warned_approx:
+        _warned_approx = True
+        from lkpy_tpu.logging import get_logger
+
+        get_logger(__name__).info(
+            "using TPU hardware TopK (approximate) retrieval",
+            n_items=n_items,
+            recall_target=recall_target,
+        )
+
+
 def retrieval_topk(
     queries: jax.Array,
     items: jax.Array,
     k: int,
     *,
     i_bias: jax.Array | None = None,
-    exact: bool = False,
+    exact: bool = True,
     recall_target: float = 0.99,
     chunk: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
@@ -62,11 +78,12 @@ def retrieval_topk(
     Dispatch (all measured on v5e):
 
     - small catalogs — XLA matmul+top_k (fuses on-chip, fastest there);
-    - large catalogs, ``exact=False`` (default) — B-chunked matmul + the
-      TPU hardware TopK (:func:`_approx_retrieval`); ~18× the exact path's
-      throughput with recall ≥ ``recall_target`` (0.997 measured at 0.99);
-    - large catalogs, ``exact=True``, small k — the fused Pallas streaming
-      kernel (never materializes scores in HBM);
+    - large catalogs, ``exact=False`` (explicit opt-in) — B-chunked matmul +
+      the TPU hardware TopK (:func:`_approx_retrieval`); ~18× the exact
+      path's throughput with recall ≥ ``recall_target`` (0.997 measured at
+      0.99); a log line records the switch the first time it is taken;
+    - large catalogs, ``exact=True`` (default), small k — the fused Pallas
+      streaming kernel (never materializes scores in HBM);
     - otherwise the exact XLA path.
 
     Returns (scores (B, k) descending, item indices (B, k)).
@@ -77,6 +94,7 @@ def retrieval_topk(
     large = n_items >= FUSED_RETRIEVAL_MIN_ITEMS
     if jax.default_backend() == "tpu" and large:
         if not exact:
+            _warn_approx_once(n_items, recall_target)
             B = queries.shape[0]
             chunk = min(chunk, B)
             pad = (-B) % chunk

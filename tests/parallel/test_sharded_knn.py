@@ -1,0 +1,66 @@
+"""
+Sharded kNN similarity build: memory-bounded Gram accumulation.
+
+VERDICT r2 #3: the sharded build must NOT replicate the dense item×user
+matrix — each device accumulates only its (rows_per, n_items) similarity
+block from sparse user chunks (reference analog: streaming CSR row sweep,
+src/accel/knn/item_train.rs:95).
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from lkpy_tpu.data.matrix import CSR
+from lkpy_tpu.ops.knn import similarity_topk
+from lkpy_tpu.parallel import MeshSpec, make_mesh
+from lkpy_tpu.parallel.knn import sharded_similarity_topk
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh(MeshSpec(data=4, model=2))
+
+
+@pytest.fixture(scope="module")
+def iu_csr():
+    rng = np.random.default_rng(99)
+    mat = sps.random(150, 400, density=0.05, random_state=99, format="csr")  # items x users
+    mat.data = rng.uniform(0.1, 1.0, size=mat.nnz).astype(np.float32)
+    # L2-normalize rows (similarity build expects a normalized matrix)
+    norms = np.sqrt(np.asarray(mat.multiply(mat).sum(axis=1))).ravel()
+    norms[norms == 0] = 1.0
+    d = sps.diags(1.0 / norms)
+    return CSR.from_scipy((d @ mat).tocsr())
+
+
+def test_sharded_matches_single(mesh, iu_csr):
+    single = similarity_topk(iu_csr, 10, 1e-6, approx=False)
+    sharded = sharded_similarity_topk(iu_csr, 10, 1e-6, mesh=mesh)
+    np.testing.assert_allclose(sharded.sims, single.sims, atol=1e-5)
+
+
+def test_sharded_memory_bounded(mesh, iu_csr):
+    """With a scratch budget far below the dense matrix size, the build must
+    still work (multiple user chunks) and match the single-device result —
+    i.e. the sharded path never needs the full dense item×user matrix."""
+    n_items, n_users = iu_csr.shape
+    dense_bytes = n_items * n_users * 4
+    budget = dense_bytes // 6  # forces >= 6 user chunks
+    sharded = sharded_similarity_topk(iu_csr, 10, 1e-6, mesh=mesh, max_dense_bytes=budget)
+    single = similarity_topk(iu_csr, 10, 1e-6, approx=False)
+    np.testing.assert_allclose(sharded.sims, single.sims, atol=1e-5)
+
+
+def test_sharded_rows_not_divisible(mesh):
+    """Item count not divisible by the model axis: padding rows are trimmed."""
+    rng = np.random.default_rng(5)
+    mat = sps.random(37, 50, density=0.2, random_state=5, format="csr")
+    mat.data = rng.uniform(0.1, 1.0, size=mat.nnz).astype(np.float32)
+    csr = CSR.from_scipy(mat)
+    single = similarity_topk(csr, 5, 1e-6, approx=False)
+    sharded = sharded_similarity_topk(csr, 5, 1e-6, mesh=mesh)
+    assert sharded.sims.shape == (37, 5)
+    np.testing.assert_allclose(sharded.sims, single.sims, atol=1e-5)

@@ -7,7 +7,6 @@ import pytest
 
 from lkpy_tpu.parallel import MeshSpec, make_mesh, shard_rows, sharded_topk
 from lkpy_tpu.parallel.ops import sharded_matmul_topk
-from lkpy_tpu.parallel.training import DistributedMFTrainer
 
 
 @pytest.fixture(scope="module")
@@ -45,16 +44,6 @@ def test_sharded_matmul_topk(mesh):
     np.testing.assert_allclose(np.asarray(vals), expected, atol=1e-5)
 
 
-def test_distributed_trainer_step(mesh):
-    trainer = DistributedMFTrainer(100, 200, embedding_size=16, mesh=mesh)
-    rng = np.random.default_rng(0)
-    users = rng.integers(0, 100, 64).astype(np.int32)
-    pos = rng.integers(0, 200, 64).astype(np.int32)
-    neg = rng.integers(0, 200, 64).astype(np.int32)
-    l1 = trainer.train_batch(users, pos, neg)
-    l2 = trainer.train_batch(users, pos, neg)
-    assert np.isfinite(l1) and np.isfinite(l2)
-    assert l2 < l1  # training on same batch reduces loss
 
 
 def test_sharded_als_matches_single(mesh):
