@@ -77,16 +77,21 @@ class BatchPipelineRunner:
         self.add_invocation(InvocationSpec("score", {"scores": component}, extra))
 
     # ---- query normalization (reference: batch/_queries.py:178) -----------
+    # Each normalized entry carries an item ROLE (reference:
+    # TestRequestAdapter ``items_as``): ItemListCollection values are TEST
+    # items — they feed predict/score's ``items`` input but NEVER gate
+    # recommendation (that would leak the answer); Mapping values are
+    # CANDIDATES and gate every invocation via the pipeline's items input.
     @staticmethod
-    def _normalize_queries(queries) -> list[tuple[tuple, RecQuery, ItemList | None]]:
+    def _normalize_queries(queries) -> list[tuple[tuple, RecQuery, ItemList | None, str]]:
         out = []
         if isinstance(queries, ItemListCollection):
             for key, il in queries.items():
                 q = RecQuery(user_id=key[0] if len(key) == 1 else None, query_id=tuple(key))
-                out.append((tuple(key), q, il))
+                out.append((tuple(key), q, il, "test"))
         elif isinstance(queries, Mapping):
             for uid, il in queries.items():
-                out.append(((uid,), RecQuery(user_id=uid, query_id=uid), il))
+                out.append(((uid,), RecQuery(user_id=uid, query_id=uid), il, "candidates"))
         else:
             try:
                 import pandas as pd
@@ -98,10 +103,10 @@ class BatchPipelineRunner:
                 pass
             for uid in queries:
                 if isinstance(uid, RecQuery):
-                    out.append(((uid.query_id if uid.query_id is not None else uid.user_id,), uid, None))
+                    out.append(((uid.query_id if uid.query_id is not None else uid.user_id,), uid, None, "test"))
                 else:
                     uid_py = uid.item() if isinstance(uid, np.generic) else uid
-                    out.append(((uid_py,), RecQuery(user_id=uid_py, query_id=uid_py), None))
+                    out.append(((uid_py,), RecQuery(user_id=uid_py, query_id=uid_py), None, "test"))
         return out
 
     # ---- running ----------------------------------------------------------
@@ -118,8 +123,8 @@ class BatchPipelineRunner:
         sw = Stopwatch()
 
         def work(entry):
-            key, query, items = entry
-            return key, self._run_query(pipeline, query, items)
+            key, query, items, role = entry
+            return key, self._run_query(pipeline, query, items, role)
 
         pb = item_progress("batch run", n) if self.progress else None
         try:
@@ -148,16 +153,17 @@ class BatchPipelineRunner:
         )
         return results
 
-    def _run_query(self, pipeline: Pipeline, query: RecQuery, items: ItemList | None) -> dict[str, Any]:
+    def _run_query(
+        self, pipeline: Pipeline, query: RecQuery, items: ItemList | None, role: str = "test"
+    ) -> dict[str, Any]:
         outs: dict[str, Any] = {}
         for inv in self.invocations:
             kwargs: dict[str, Any] = {"query": query}
             kwargs.update(inv.extra_inputs)
-            if items is not None:
-                # candidate lists feed the pipeline's "items" input; for the
-                # standard topn pipeline, use_first_of(items, selector) makes
-                # them the candidate set (reference: batch/_queries.py — ILC
-                # values are the candidates for every invocation kind)
+            if items is not None and (role == "candidates" or inv.name in ("predict", "score")):
+                # test items feed predict/score's items input (reference:
+                # _runner.py:332 "test-items"); candidate lists additionally
+                # gate recommend via use_first_of(items, selector)
                 kwargs["items"] = items
             nodes = list(inv.components.values())
             state = pipeline.run_all(*nodes, _profile=getattr(self, "_profiler", None), **kwargs)

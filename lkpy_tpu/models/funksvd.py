@@ -7,6 +7,12 @@ featurewise SGD over bias residuals with trailing-value estimation and
 range clamping.  Trains with minibatch SGD per feature
 (:mod:`lkpy_tpu.ops.funksvd`) — documented deviation from exact-order
 sequential SGD.
+
+Single-device by design: the reference kernel is single-threaded
+sequential SGD (funksvd.rs runs one pass over the rating triples in
+order), so there is no parallel semantics to distribute — the mesh-scaled
+gradient path for this model family is FlexMF
+(:mod:`lkpy_tpu.models.flexmf`), which honors ``TrainingOptions.mesh``.
 """
 
 from __future__ import annotations

@@ -76,6 +76,19 @@ def batched_spd_solve(A: jax.Array, y: jax.Array) -> jax.Array:
     return jax.scipy.linalg.cho_solve((chol, True), y[..., None])[..., 0]
 
 
+def _bf16_gram() -> bool:
+    """bf16 Gram inputs (f32 MXU accumulation) on TPU — ~1.3× the Gram rate,
+    ~7e-4 relative perturbation of the normal equations (measured); the rhs
+    ``y`` stays f32.  Opt out with ``LKT_ALS_BF16_GRAM=0``.  Read at trace
+    time (per compiled program), not per call."""
+    import os
+
+    v = os.environ.get("LKT_ALS_BF16_GRAM")
+    if v is not None:
+        return v not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 @jax.jit
 def solve_explicit_bucket(
     cols: jax.Array,  # (B, P) int32
@@ -89,7 +102,15 @@ def solve_explicit_bucket(
     m = mask.astype(right.dtype)
     Gm = G * m[:, :, None]
     # per-row Gram: (B, k, k) — batched matmul on the MXU
-    A = jnp.einsum("bpi,bpj->bij", Gm, G, preferred_element_type=jnp.float32)
+    if _bf16_gram():
+        A = jnp.einsum(
+            "bpi,bpj->bij",
+            Gm.astype(jnp.bfloat16),
+            G.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        A = jnp.einsum("bpi,bpj->bij", Gm, G, preferred_element_type=jnp.float32)
     n_u = jnp.sum(m, axis=1)  # (B,)
     k = right.shape[1]
     A = A + (reg * n_u)[:, None, None] * jnp.eye(k, dtype=A.dtype)
@@ -109,7 +130,16 @@ def solve_implicit_bucket(
     G = right[cols]
     m = mask.astype(right.dtype)
     cm = conf * m
-    A = otor[None, :, :] + jnp.einsum("bpi,bp,bpj->bij", G, cm, G, preferred_element_type=jnp.float32)
+    if _bf16_gram():
+        A = otor[None, :, :] + jnp.einsum(
+            "bpi,bp,bpj->bij",
+            G.astype(jnp.bfloat16),
+            cm.astype(jnp.bfloat16),
+            G.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        A = otor[None, :, :] + jnp.einsum("bpi,bp,bpj->bij", G, cm, G, preferred_element_type=jnp.float32)
     y = jnp.einsum("bpi,bp->bi", G, (conf + 1.0) * m, preferred_element_type=jnp.float32)
     return batched_spd_solve(A, y).astype(right.dtype)
 
@@ -247,11 +277,16 @@ def epoch_flops(u_stats: dict, i_stats: dict, k: int, *, useful: bool) -> float:
     return gram + solves
 
 
-#: row threshold above which a bucket's solves route through the shared
-#: blocked-Cholesky program instead of the per-bucket fused Pallas solve
-_BLOCKED_MIN_ROWS = 32_768
-#: blocked-solve batch (rows per dispatch of the shared program)
-_SOLVE_BATCH = 16_384
+#: total-row threshold above which a half-epoch's solves pool through the
+#: shared blocked-Cholesky programs instead of the per-bucket fused Pallas
+#: solve (measured on v5e at k=64: blocked 0.61-0.78 M solves/s vs Pallas
+#: GJ 0.34)
+_BLOCKED_MIN_ROWS = 8_192
+#: blocked-solve batch ladder: slices use the largest power-of-two batch
+#: ≤ N down to the MIN (32k runs at 0.70 M solves/s vs 16k's 0.60); bounded
+#: ladder ⇒ bounded number of ~20 s compiles
+_SOLVE_BATCH = 32_768
+_SOLVE_BATCH_MIN = 8_192
 
 
 @jax.jit
@@ -262,7 +297,17 @@ def _gram_scan_implicit(cols, conf, mask, right, otor):
         c, v, m = xs
         G = right[c]
         cm = v * m.astype(right.dtype)
-        A = otor[None, :, :] + jnp.einsum("bpi,bp,bpj->bij", G, cm, G, preferred_element_type=jnp.float32)
+        if _bf16_gram():
+            A = jnp.einsum(
+                "bpi,bp,bpj->bij",
+                G.astype(jnp.bfloat16),
+                cm.astype(jnp.bfloat16),
+                G.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            A = jnp.einsum("bpi,bp,bpj->bij", G, cm, G, preferred_element_type=jnp.float32)
+        A = otor[None, :, :] + A
         y = jnp.einsum("bpi,bp->bi", G, (v + 1.0) * m, preferred_element_type=jnp.float32)
         return None, (A, y)
 
@@ -277,7 +322,15 @@ def _gram_scan_explicit(cols, vals, mask, right, reg):
         G = right[c]
         mm = m.astype(right.dtype)
         Gm = G * mm[:, :, None]
-        A = jnp.einsum("bpi,bpj->bij", Gm, G, preferred_element_type=jnp.float32)
+        if _bf16_gram():
+            A = jnp.einsum(
+                "bpi,bpj->bij",
+                Gm.astype(jnp.bfloat16),
+                G.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            A = jnp.einsum("bpi,bpj->bij", Gm, G, preferred_element_type=jnp.float32)
         n_u = jnp.sum(mm, axis=1)
         k = right.shape[1]
         A = A + (reg * n_u)[:, None, None] * jnp.eye(k, dtype=A.dtype)
@@ -299,31 +352,40 @@ def _blocked_solve_slice(A, y):
     return blocked_spd_solve(A, y)
 
 
-def _solve_large_bucket(A, y):
-    """Solve a large bucket's stacked systems via the shared blocked program.
+def _solve_rows_blocked(A_flat, y_flat, serialize: bool = False):
+    """Solve N stacked systems via the shared blocked-Cholesky program.
 
-    ``A`` (C, B, k, k) / ``y`` (C, B, k) flatten to N rows and are processed
-    in ``_SOLVE_BATCH`` slices; the final slice starts at ``N - sb`` (overlap
-    recompute instead of padding — identical results, no wasted dummy
-    solves).  The blocked-Cholesky program unrolls 8 panel steps and costs
-    ~20 s to compile, so it is compiled ONCE (per operand shape) and reused
-    across slices and epochs — that is the point of this detour.
+    ``A_flat`` (N, k, k) / ``y_flat`` (N, k) are processed in fixed-size
+    slices from a power-of-two ladder (largest ladder entry ≤ N); the final
+    slice starts at ``N - sb`` (overlap recompute instead of padding —
+    identical results, no wasted dummy solves).  The blocked-Cholesky
+    program unrolls 8 panel steps and costs ~20 s to compile, so at most
+    ``len(ladder)`` programs exist and each is reused across slices and
+    epochs — that is the point of this detour.
     """
-    C, B, k = y.shape
-    N = C * B
-    A_flat = A.reshape(N, k, k)
-    y_flat = y.reshape(N, k)
+    N, k = y_flat.shape
     sb = _SOLVE_BATCH
+    while sb > N and sb > _SOLVE_BATCH_MIN:
+        sb //= 2
+    sb = min(sb, N)
     chunks = []
     offs = list(range(0, N - sb + 1, sb))
     if offs[-1] + sb < N:
         offs.append(N - sb)
     for off in offs:
-        chunks.append(_blocked_solve_slice(A_flat[off : off + sb], y_flat[off : off + sb]))
+        x = _blocked_solve_slice(A_flat[off : off + sb], y_flat[off : off + sb])
+        if serialize:
+            jax.block_until_ready(x)
+        chunks.append(x)
     covered = offs[-2] + sb if len(offs) > 1 else 0
     tail = N - covered  # rows of the last (overlapping) slice that are new
-    xs = jnp.concatenate(chunks[:-1] + [chunks[-1][sb - tail :]], axis=0) if len(offs) > 1 else chunks[0][:N]
-    return xs.reshape(C, B, k)
+    return jnp.concatenate(chunks[:-1] + [chunks[-1][sb - tail :]], axis=0) if len(offs) > 1 else chunks[0][:N]
+
+
+def _solve_large_bucket(A, y):
+    """Solve one bucket's (C, B, k, k) stacked systems (see _solve_rows_blocked)."""
+    C, B, k = y.shape
+    return _solve_rows_blocked(A.reshape(C * B, k, k), y.reshape(C * B, k)).reshape(C, B, k)
 
 
 @jax.jit
@@ -394,31 +456,17 @@ def warm_epoch_programs(u_chunks, i_chunks, n_users: int, n_items: int, k: int, 
     executables was no better.  Subsequent epochs then run fully async at
     steady-state speed.  Costs one epoch of throwaway device work.
     """
-    apply_update = _apply_update_fn(mesh)
-    on_tpu = jax.default_backend() == "tpu"
     for chunks, n_left, n_right in ((u_chunks, n_users, n_items), (i_chunks, n_items, n_users)):
-        right = jnp.zeros((n_right, k), jnp.float32)
-        otor = jnp.eye(k, dtype=jnp.float32)  # non-singular dummy
-        for ch in chunks:
-            C, B, _P = ch.cols.shape
-            if on_tpu and mesh is None and C * B >= _BLOCKED_MIN_ROWS:
-                if mode == "explicit":
-                    A, y = _gram_scan_explicit(ch.cols, ch.values, ch.mask, right, jnp.float32(0.1))
-                else:
-                    A, y = _gram_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
-                jax.block_until_ready(y)
-                xs = _solve_large_bucket(A, y)
-            elif mode == "explicit":
-                xs = _solve_scan_explicit(ch.cols, ch.values, ch.mask, right, jnp.float32(0.1))
-            else:
-                xs = _solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
-            jax.block_until_ready(xs)
-            left = jnp.zeros((n_left, k), jnp.float32)
-            out = apply_update(left, ch.rows, xs, jnp.float32(0.0))
-            jax.block_until_ready(out)
+        # identity-ish dummy right table keeps the dummy normal equations
+        # non-singular; serialize=True walks the EXACT run path, blocking
+        # after every program so compiles+loads happen one at a time
+        right = jnp.ones((n_right, k), jnp.float32) * 0.01
+        left = jnp.zeros((n_left, k), jnp.float32)
+        out = _run_half(left, right, jnp.float32(0.1), chunks, mode, mesh, serialize=True)
+        jax.block_until_ready(out)
 
 
-def _run_half(left, right, reg, chunks, mode: str, mesh):
+def _run_half(left, right, reg, chunks, mode: str, mesh, serialize: bool = False):
     """One half-epoch as a pipeline of per-bucket programs.
 
     Deliberately NOT one fused program: per-bucket programs each compile in
@@ -427,27 +475,60 @@ def _run_half(left, right, reg, chunks, mode: str, mesh):
     separately-dispatched solves also run ~25% faster (42.2M vs 33.8M
     examples/s measured).  All calls enqueue asynchronously; nothing here
     blocks on the device, the delta stays a device scalar.
+
+    On single-device TPU the solves POOL across buckets: every bucket's
+    normal equations flatten into one stacked batch solved through the
+    shared blocked-Cholesky program (0.70 M solves/s at 32k batch vs the
+    per-bucket Pallas GJ's 0.34 — the item half previously paid the slow
+    path because no single item bucket reached the blocked threshold).
+
+    ``serialize`` blocks after every program call — used by
+    :func:`warm_epoch_programs` so priming walks the EXACT run path.
     """
     apply_update = _apply_update_fn(mesh)
     otor = implicit_otor(right, reg) if mode == "implicit" else None
     on_tpu = jax.default_backend() == "tpu"
     dsq = jnp.float32(0.0)
-    for ch in chunks:
-        C, B, _P = ch.cols.shape
-        if on_tpu and mesh is None and C * B >= _BLOCKED_MIN_ROWS:
-            # large bucket: build normal equations per width, solve through
-            # the ONE shared blocked-Cholesky program (2× the Pallas GJ
-            # throughput at 1/13th of its per-bucket compile cost)
+
+    def _sync(x):
+        if serialize:
+            jax.block_until_ready(x)
+        return x
+
+    total_rows = sum(ch.cols.shape[0] * ch.cols.shape[1] for ch in chunks)
+    if on_tpu and mesh is None and total_rows >= _BLOCKED_MIN_ROWS:
+        k = right.shape[1]
+        A_parts = []
+        y_parts = []
+        for ch in chunks:
+            C, B, _P = ch.cols.shape
             if mode == "explicit":
                 A, y = _gram_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
             else:
                 A, y = _gram_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
-            xs = _solve_large_bucket(A, y)
-        elif mode == "explicit":
+            _sync(y)
+            A_parts.append(A.reshape(C * B, k, k))
+            y_parts.append(y.reshape(C * B, k))
+        A_all = A_parts[0] if len(A_parts) == 1 else jnp.concatenate(A_parts, axis=0)
+        y_all = y_parts[0] if len(y_parts) == 1 else jnp.concatenate(y_parts, axis=0)
+        xs_all = _solve_rows_blocked(A_all, y_all, serialize=serialize)
+        off = 0
+        for ch in chunks:
+            C, B, _P = ch.cols.shape
+            xs = xs_all[off : off + C * B].reshape(C, B, k)
+            off += C * B
+            left, dsq = apply_update(left, ch.rows, xs, dsq)
+            _sync(dsq)
+        return left, dsq
+
+    for ch in chunks:
+        if mode == "explicit":
             xs = _solve_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
         else:
             xs = _solve_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+        _sync(xs)
         left, dsq = apply_update(left, ch.rows, xs, dsq)
+        _sync(dsq)
     return left, dsq
 
 

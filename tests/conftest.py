@@ -7,17 +7,25 @@ testable without a pod) — set up environment BEFORE jax is imported.
 
 import os
 
-# force CPU with 8 virtual devices for sharding tests.  The axon sitecustomize
-# pre-imports jax and latches JAX_PLATFORMS=axon, so an env default is not
-# enough — override the live config before any backend initializes.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+#: TPU lane (VERDICT r2 #7): ``LKT_TPU_TESTS=1 pytest -m tpu tests/tpu``
+#: leaves the real TPU backend live so the TPU-only branches (compiled
+#: Pallas kernels, blocked-solve routing, approx_max_k) run on hardware.
+TPU_LANE = os.environ.get("LKT_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    # force CPU with 8 virtual devices for sharding tests.  The axon
+    # sitecustomize pre-imports jax and latches JAX_PLATFORMS=axon, so an
+    # env default is not enough — override the live config before any
+    # backend initializes.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,183 @@
+"""
+TPU hardware lane (VERDICT r2 #7): the TPU-only branches, on a real chip.
+
+Run with ``LKT_TPU_TESTS=1 python -m pytest -m tpu tests/tpu -q`` — the
+normal suite forces the 8-device CPU platform, so every
+``jax.default_backend() == "tpu"`` branch (compiled Pallas dispatch,
+blocked-solve routing, approx_max_k retrieval, warm_epoch_programs,
+bf16 Gram) otherwise ships tested only by bench.py (reference analog:
+the accel kernels are exercised through the normal suite,
+/root/reference/tests/accel/).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs a real TPU backend"),
+]
+
+
+@pytest.fixture()
+def rng():
+    # function-scoped: each test gets the same stream regardless of which
+    # other tests ran (a shared stream made tolerances order-dependent)
+    return np.random.default_rng(42)
+
+
+def test_pallas_spd_solve_compiled(rng):
+    """Pallas GJ solve runs COMPILED (not interpreted) and matches LAPACK."""
+    from lkpy_tpu.ops.pallas_solve import _interpret, spd_solve
+
+    assert not _interpret()
+    B, k = 512, 64
+    M = rng.standard_normal((B, k, k)).astype(np.float32) * 0.1
+    A = np.einsum("bij,bkj->bik", M, M) + np.eye(k, dtype=np.float32)[None] * 2
+    y = rng.standard_normal((B, k)).astype(np.float32)
+    x = np.asarray(spd_solve(jnp.asarray(A), jnp.asarray(y)))
+    x_ref = np.linalg.solve(A, y[:, :, None])[:, :, 0]
+    np.testing.assert_allclose(x, x_ref, atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_mips_topk_compiled(rng):
+    """Compiled kernel ranking matches the f64 oracle; values agree within
+    the MXU's default-precision (bf16-input) matmul tolerance — the same
+    contract as the XLA retrieval path on TPU."""
+    from lkpy_tpu.ops.pallas_topk import mips_topk
+
+    B, N, D, k = 64, 2048, 32, 10
+    Q = rng.standard_normal((B, D)).astype(np.float32)
+    I = rng.standard_normal((N, D)).astype(np.float32)
+    vals, idx = mips_topk(Q, I, k)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    S = Q.astype(np.float64) @ I.T.astype(np.float64)
+    exp_idx = np.argsort(-S, axis=1)[:, :k]
+    recall = sum(len(set(idx[b]) & set(exp_idx[b])) for b in range(B)) / (B * k)
+    assert recall >= 0.99, recall
+    # returned values are the scores of the returned items (MXU tolerance)
+    at_idx = np.take_along_axis(S, idx, axis=1)
+    np.testing.assert_allclose(vals, at_idx, atol=5e-3, rtol=5e-3)
+
+
+def test_blocked_solve_routing_and_pooled_half(rng):
+    """A TPU half-epoch (pooled blocked solves + bf16 Gram) matches the
+    numpy normal-equation oracle within bf16 Gram tolerance."""
+    import scipy.sparse as sps
+
+    from lkpy_tpu.data.matrix import CSR
+    from lkpy_tpu.ops.als import als_half_epoch, chunk_buckets
+    from lkpy_tpu.ops.sparse import bucket_rows
+
+    n_rows, n_cols, k = 40_000, 300, 16  # > _BLOCKED_MIN_ROWS -> pooled path
+    mat = sps.random(n_rows, n_cols, density=0.01, random_state=7, format="csr")
+    mat.data = rng.uniform(1, 40, size=mat.nnz).astype(np.float32)
+    csr = CSR.from_scipy(mat)
+    right = rng.standard_normal((n_cols, k)).astype(np.float32) * 0.1
+    chunks = chunk_buckets(bucket_rows(csr, field="rating"))
+    left, _delta = als_half_epoch(
+        chunks, jnp.zeros((n_rows, k)), jnp.asarray(right), 0.1, mode="implicit"
+    )
+    left = np.asarray(left)
+
+    # numpy oracle on a row sample
+    otor = right.T @ right + 0.1 * np.eye(k, dtype=np.float32)
+    sample = rng.choice(n_rows, 100, replace=False)
+    for r in sample:
+        s, e = int(csr.rowptr[r]), int(csr.rowptr[r + 1])
+        if s == e:
+            continue
+        G = right[csr.colind[s:e]]
+        c = csr.values[s:e]
+        A = otor + (G * c[:, None]).T @ G
+        y = G.T @ (c + 1.0)
+        x = np.linalg.solve(A, y)
+        # bf16 Gram inputs perturb A by ~4e-3 relative (confidences up to
+        # 40); the solve amplifies by the row condition number
+        np.testing.assert_allclose(left[r], x, atol=2e-2, rtol=2e-2)
+
+
+def test_retrieval_approx_recall(rng):
+    """approx_max_k large-catalog retrieval keeps recall@k >= 0.95."""
+    from lkpy_tpu.ops.topk import FUSED_RETRIEVAL_MIN_ITEMS, retrieval_topk
+
+    N = FUSED_RETRIEVAL_MIN_ITEMS
+    B, D, k = 256, 32, 100
+    Q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    I = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    av, ai = retrieval_topk(Q, I, k, exact=False)
+    ev, ei = retrieval_topk(Q, I, k, exact=True)
+    ai, ei = np.asarray(ai), np.asarray(ei)
+    hits = sum(len(set(ai[b]) & set(ei[b])) for b in range(B))
+    recall = hits / (B * k)
+    assert recall >= 0.95, recall
+
+
+def test_warm_epoch_programs_runs(rng):
+    import scipy.sparse as sps
+
+    from lkpy_tpu.data.matrix import CSR
+    from lkpy_tpu.ops.als import chunk_buckets, warm_epoch_programs
+    from lkpy_tpu.ops.sparse import bucket_rows
+
+    mat = sps.random(1000, 400, density=0.02, random_state=3, format="csr")
+    mat.data = np.abs(mat.data).astype(np.float32) + 1
+    ui = CSR.from_scipy(mat)
+    iu = ui.transpose()
+    u_b = chunk_buckets(bucket_rows(ui, field="rating"))
+    i_b = chunk_buckets(bucket_rows(iu, field="rating"))
+    warm_epoch_programs(u_b, i_b, 1000, 400, 8, "implicit")
+
+
+def test_knn_gram_path_bf16(rng):
+    """The bf16 Gram accumulation similarity build matches the dense-path
+    oracle within bf16 tolerance (forced via a tiny dense budget)."""
+    import scipy.sparse as sps
+
+    from lkpy_tpu.data.matrix import CSR
+    from lkpy_tpu.ops.knn import similarity_topk
+
+    mat = sps.random(300, 2000, density=0.02, random_state=11, format="csr")
+    mat.data = rng.uniform(0.1, 1.0, size=mat.nnz).astype(np.float32)
+    norms = np.sqrt(np.asarray(mat.multiply(mat).sum(axis=1))).ravel()
+    norms[norms == 0] = 1.0
+    csr = CSR.from_scipy((sps.diags(1.0 / norms) @ mat).tocsr())
+    dense = similarity_topk(csr, 10, approx=False)
+    gram = similarity_topk(
+        csr, 10, approx=False, max_dense_bytes=300 * 2000  # forces Gram chunks
+    )
+    np.testing.assert_allclose(gram.sims, dense.sims, atol=5e-3)
+
+
+def test_device_batch_serving_approx(rng):
+    """device_recommend's hardware-TopK method agrees with exact on TPU."""
+    import pandas as pd
+    from types import SimpleNamespace
+
+    from lkpy_tpu.batch.device import device_recommend
+    from lkpy_tpu.data import from_interactions_df
+
+    n_users, n_items, k = 300, 1000, 16
+    hist = pd.DataFrame(
+        {
+            "user_id": np.repeat(np.arange(n_users), 20),
+            "item_id": rng.integers(0, n_items, n_users * 20),
+        }
+    ).drop_duplicates()
+    ds = from_interactions_df(hist)
+    matrix = ds.interaction_matrix()
+    scorer = SimpleNamespace(
+        user_embeddings=rng.standard_normal((ds.user_count, k)).astype(np.float32),
+        item_embeddings=rng.standard_normal((ds.item_count, k)).astype(np.float32),
+        config=SimpleNamespace(user_embeddings="prefer"),
+    )
+    users = np.asarray(ds.users.ids)[:128]
+    exact = device_recommend(scorer, users, 10, matrix, exact=True)
+    approx = device_recommend(scorer, users, 10, matrix, exact=False)
+    agree = sum(
+        len(set(a.ids()) & set(b.ids())) for (_, a), (_, b) in zip(exact.items(), approx.items())
+    )
+    assert agree / (len(users) * 10) >= 0.95
