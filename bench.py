@@ -296,7 +296,8 @@ def main():
     hit = tot = 0
     for key, il in exact_out.items():
         ex = set(il.ids())
-        ap = set(approx_out[key].ids()) if approx_out[key] is not None else set()
+        ap_il = approx_out.lookup_projected(key)
+        ap = set(ap_il.ids()) if ap_il is not None else set()
         hit += len(ex & ap)
         tot += len(ex)
     recall_500k = hit / tot if tot else 1.0

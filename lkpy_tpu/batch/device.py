@@ -38,6 +38,36 @@ class BatchScorer(Protocol):  # pragma: no cover - protocol
         ...
 
 
+_dev_cache: dict = {}
+
+
+def _cached_device(arr):
+    """Device-place a host array once per array object.
+
+    Serving calls repeatedly ship the (n_items, k) table to the device
+    otherwise — 128 MB per call at 500k items, which dominated product
+    serving on remote (tunneled) backends.  Keyed by object identity with a
+    weakref eviction hook; jax arrays pass through untouched."""
+    import weakref
+
+    if isinstance(arr, jax.Array):
+        return arr
+    key = id(arr)
+    hit = _dev_cache.get(key)
+    if hit is not None and hit[0]() is arr:
+        return hit[1]
+    dev = jnp.asarray(arr)
+    try:
+        ref = weakref.ref(arr, lambda _r, key=key: _dev_cache.pop(key, None))
+    except TypeError:  # pragma: no cover - non-weakrefable input
+
+        def ref(a=arr):
+            return a
+
+    _dev_cache[key] = (ref, dev)
+    return dev
+
+
 def supports_device_batch(scorer) -> bool:
     try:
         arrays = _extract_arrays(scorer)
@@ -249,13 +279,18 @@ def device_recommend(
         # pad chunks to a 256 multiple so the scan sub-chunk stays MXU-sized
         chunk = max(chunk, 256) // 256 * 256
 
-    i_emb = jnp.asarray(arrays["i_embed"], dtype=jnp.float32)
-    if rep_shard is not None:
-        i_emb = jax.device_put(i_emb, rep_shard)
+    if rep_shard is None:
+        i_emb = _cached_device(arrays["i_embed"])
+        if i_emb.dtype != jnp.float32:
+            i_emb = i_emb.astype(jnp.float32)
+    else:
+        i_emb = jax.device_put(jnp.asarray(arrays["i_embed"], dtype=jnp.float32), rep_shard)
     u_table = np.asarray(arrays["u_embed"], dtype=np.float32)
     u_bias_t = arrays.get("u_bias")
     i_bias = arrays.get("i_bias")
-    i_bias_j = None if i_bias is None else jnp.asarray(i_bias, dtype=jnp.float32)
+    i_bias_j = None if i_bias is None else _cached_device(i_bias)
+    if i_bias_j is not None and i_bias_j.dtype != jnp.float32:
+        i_bias_j = i_bias_j.astype(jnp.float32)
     if rep_shard is not None and i_bias_j is not None:
         i_bias_j = jax.device_put(i_bias_j, rep_shard)
     offset = jnp.float32(arrays.get("offset", 0.0))
@@ -271,11 +306,25 @@ def device_recommend(
         hasattr(scorer, "device_fold_in")
         and getattr(getattr(scorer, "config", None), "user_embeddings", None) != "prefer"
     )
+    # implicit fold-in with use_ratings=False only needs history structure —
+    # skip shipping the rating values (1/3 of the history transfer)
+    needs_vals = use_fold and getattr(scorer, "fold_in_needs_ratings", True)
+    hist_field = "rating" if needs_vals else None
 
     lens = csr.row_lengths()
+    # process users sorted by history length so each chunk's padded history
+    # width H matches its members instead of the global maximum — the padded
+    # (B, H) history transfer dominated serving cost on remote devices
+    # (measured 40x padding waste on popularity-skewed histories); results
+    # are emitted back in input order below.
+    order = np.argsort(np.where(nums >= 0, lens[np.maximum(nums, 0)], 0), kind="stable")
+    user_ids_s = user_ids[order]
+    nums_s = nums[order]
+    results: list = [None] * len(user_ids)
+    pending: list = []
     for lo in range(0, len(user_ids), chunk):
         hi = min(lo + chunk, len(user_ids))
-        cn = nums[lo:hi]
+        cn = nums_s[lo:hi]
         known = cn >= 0
         safe = np.where(known, cn, 0)
         B = hi - lo
@@ -291,11 +340,12 @@ def device_recommend(
         if pad_b:
             safe = np.concatenate([safe, np.zeros(pad_b, dtype=safe.dtype)])
             known = np.concatenate([known, np.zeros(pad_b, dtype=bool)])
-        # pad histories for the chunk (power-of-two width to bound recompiles)
+        # pad histories for the chunk (64-multiple width to bound recompiles;
+        # with length-sorted users the chunk max is close to its members)
         from lkpy_tpu.ops.sparse import pad_rows, round_up
 
         H = round_up(max(int(lens[safe].max()) if len(safe) else 1, 1), 64)
-        p = pad_rows(csr, width=H, rows=safe.astype(np.int32), field="rating")
+        p = pad_rows(csr, width=H, rows=safe.astype(np.int32), field=hist_field)
         hist_cols = np.asarray(p.cols)
         hist_mask = np.asarray(p.mask) & known[:, None]
 
@@ -318,12 +368,19 @@ def device_recommend(
         vals, idx = _batch_topn(
             u_emb, i_emb, u_bias_j, i_bias_j, offset, hist_cols_j, hist_mask_j, n, n_items, method
         )
+        # defer the device->host copies: enqueue every chunk's programs
+        # first, sync once below (per-chunk round-trips dominated serving on
+        # remote backends)
+        pending.append((lo, B, known, vals, idx))
+
+    for lo, B, known, vals, idx in pending:
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         for b in range(B):
-            uid = user_ids[lo + b]
+            pos = int(order[lo + b])
+            uid = user_ids_s[lo + b]
             if not known[b]:
-                ilc.add(ItemList(), uid)
+                results[pos] = (uid, ItemList())
                 continue
             good = np.isfinite(vals[b])
             k = int(good.sum())
@@ -334,7 +391,9 @@ def device_recommend(
                 ordered=True,
                 rank=np.arange(1, k + 1, dtype=np.int32),
             )
-            ilc.add(il, uid)
+            results[pos] = (uid, il)
+    for uid, il in results:
+        ilc.add(il, uid)
     sw.stop()
     _log.info(
         "device batch recommend",

@@ -290,10 +290,11 @@ class BiasedMFScorer(ALSBase):
 
         if vals is None:
             raise ValueError("explicit ALS fold-in requires ratings")
+        from lkpy_tpu.batch.device import _cached_device
         from lkpy_tpu.models.bias import entity_damping
 
-        i_emb = jnp.asarray(self.item_embeddings)
-        ib = jnp.asarray(self.bias.item_biases)
+        i_emb = _cached_device(self.item_embeddings)
+        ib = _cached_device(self.bias.item_biases)
         m = mask.astype(jnp.float32)
         resid = (vals - self.bias.global_bias - ib[cols]) * m
         damping = entity_damping(self.bias.damping, "user")
@@ -334,6 +335,12 @@ class ImplicitMFScorer(ALSBase):
     config: ImplicitMFConfig
     _OtOr: np.ndarray
 
+    @property
+    def fold_in_needs_ratings(self) -> bool:
+        """Batch fold-in only needs rating values when confidences use them —
+        lets the device batch path skip shipping them (batch/device.py)."""
+        return self.config.use_ratings
+
     def create_trainer(self, data, options):
         return ImplicitMFTrainer(self, data, options)
 
@@ -355,7 +362,9 @@ class ImplicitMFScorer(ALSBase):
     def device_fold_in(self, cols, vals, mask):
         import jax.numpy as jnp
 
-        i_emb = jnp.asarray(self.item_embeddings)
+        from lkpy_tpu.batch.device import _cached_device
+
+        i_emb = _cached_device(self.item_embeddings)
         m = mask.astype(jnp.float32)
         if self.config.use_ratings:
             if vals is None:
@@ -363,7 +372,7 @@ class ImplicitMFScorer(ALSBase):
             conf = vals * self.config.weight * m
         else:
             conf = jnp.full(cols.shape, self.config.weight, dtype=jnp.float32) * m
-        u = als_ops.solve_implicit_bucket(cols, conf, mask, i_emb, jnp.asarray(self._OtOr))
+        u = als_ops.solve_implicit_bucket(cols, conf, mask, i_emb, _cached_device(self._OtOr))
         return u, jnp.zeros(cols.shape[0], dtype=jnp.float32)
 
 

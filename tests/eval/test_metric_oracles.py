@@ -195,3 +195,78 @@ def test_rbp_normalized_perfect():
     recs = ordered([1, 2, 3])
     truth = il([1, 2, 3])
     assert RBP(patience=p, normalize=True).measure_list(recs, truth) == approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# RBO / LIP (reference: tests/eval/test_rbo.py, test_lip.py semantics)
+
+
+def test_rbo_reference_semantics():
+    from lkpy_tpu.metrics import GeometricRankWeight
+    from lkpy_tpu.metrics.reranking import rank_biased_overlap
+
+    # perfect match -> exactly 1.0 (normalized by total weight)
+    a = ordered([1, 2, 3, 4, 5])
+    w = GeometricRankWeight(0.9)
+    assert rank_biased_overlap(a, a, n=5, weight=w) == approx(1.0)
+    # disjoint -> 0.0 (reference test_rbo.py:39)
+    b = ordered([6, 7, 8])
+    assert rank_biased_overlap(ordered([1, 2, 3]), b, n=3, weight=w) == approx(0.0)
+    # empty reference -> 0.0 (reference test_rbo.py:17)
+    assert rank_biased_overlap(ItemList(), b, n=3) == approx(0.0)
+    # hand value: a=[1,2,3], b=[2,1,3], p=0.5, n=3:
+    # d=1 overlap 0; d=2 overlap 2 -> 1; d=3 overlap 3 -> 1
+    # weights (1-p)p^{d-1} = .5, .25, .125; sum_w = .875
+    # rbo = (0*.5 + 1*.25 + 1*.125)/.875
+    from lkpy_tpu.metrics._weighting import GeometricRankWeight as GW
+
+    v = rank_biased_overlap(ordered([1, 2, 3]), ordered([2, 1, 3]), n=3, weight=GW(0.5))
+    assert v == approx((0.25 + 0.125) / 0.875)
+
+
+def test_lip_reference_semantics():
+    from lkpy_tpu.metrics.reranking import least_item_promoted
+
+    base = ordered(list(range(1, 21)))  # items 1..20 at indices 0..19
+    # reranked top-10 contains item 15 (base index 14): LIP = 14 - 10 = 4
+    rr = ordered([15] + list(range(1, 10)))
+    assert least_item_promoted(base, rr, n=10) == 4.0
+    # nothing from beyond 10 -> 0
+    assert least_item_promoted(base, ordered(list(range(1, 11))), n=10) == 0.0
+    # empty base -> NaN
+    assert np.isnan(least_item_promoted(ItemList(), rr, n=10))
+
+
+# ---------------------------------------------------------------------------
+# prediction metrics (reference: tests/eval/test_predict_metrics.py)
+
+
+def test_rmse_mae_hand_values():
+    from lkpy_tpu.metrics.predict import MAE, RMSE, mae, rmse
+
+    out = ItemList(item_ids=[1, 2, 3], scores=[3.0, 4.0, 5.0])
+    truth = il([1, 2, 3], rating=np.array([4.0, 4.0, 3.0]))
+    assert RMSE().measure_list(out, truth) == approx(np.sqrt((1 + 0 + 4) / 3))
+    assert MAE().measure_list(out, truth) == approx((1 + 0 + 2) / 3)
+    assert rmse(out, truth) == approx(np.sqrt(5 / 3))
+    assert mae(out, truth) == approx(1.0)
+
+
+def test_rmse_missing_prediction_error_vs_ignore():
+    from lkpy_tpu.metrics.predict import RMSE
+
+    out = ItemList(item_ids=[1], scores=[3.0])
+    truth = il([1, 2], rating=np.array([3.0, 5.0]))
+    with pytest.raises(ValueError, match="no predictions"):
+        RMSE().measure_list(out, truth)
+    assert RMSE(missing_scores="ignore").measure_list(out, truth) == approx(0.0)
+
+
+def test_rmse_unrated_prediction_error_vs_ignore():
+    from lkpy_tpu.metrics.predict import RMSE
+
+    out = ItemList(item_ids=[1, 9], scores=[3.0, 2.0])
+    truth = il([1], rating=np.array([3.0]))
+    with pytest.raises(ValueError, match="unrated"):
+        RMSE().measure_list(out, truth)
+    assert RMSE(missing_truth="ignore").measure_list(out, truth) == approx(0.0)

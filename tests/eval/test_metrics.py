@@ -139,11 +139,15 @@ def test_run_analysis():
 
 
 def test_rbo_identical():
+    # identical lists score exactly 1.0 (reference: _rbo.py normalization)
     a = ranked([1, 2, 3])
-    assert rank_biased_overlap(a, a, k=3) == pytest.approx((1 - 0.9) * (1 + 0.9 + 0.81), rel=1e-6)
+    assert rank_biased_overlap(a, a, n=3) == pytest.approx(1.0)
 
 
 def test_lip():
+    # item 5 sits at base index 4; promoted into top-3 -> 4 - 3 = 1 beyond n
     orig = ranked([1, 2, 3, 4, 5])
     rr = ranked([5, 1, 2])
-    assert least_item_promoted(orig, rr) == 5.0
+    assert least_item_promoted(orig, rr, n=3) == 1.0
+    # nothing promoted from beyond n -> 0
+    assert least_item_promoted(orig, ranked([1, 2, 3]), n=3) == 0.0

@@ -177,13 +177,13 @@ def test_rank_biased_entropy():
 def test_rbo_disjoint_zero():
     a = ranked([1, 2, 3])
     b = ranked([4, 5, 6])
-    assert rank_biased_overlap(a, b, k=3) == pytest.approx(0.0)
+    assert rank_biased_overlap(a, b, n=3) == pytest.approx(0.0)
 
 
 def test_rbo_partial_between():
     a = ranked([1, 2, 3])
     b = ranked([1, 9, 8])
-    v = rank_biased_overlap(a, b, k=3)
+    v = rank_biased_overlap(a, b, n=3)
     assert 0 < v < 1
 
 
