@@ -122,3 +122,48 @@ def test_tune_cli(runner, tmp_path):
     results = json.loads(out.read_text())
     assert len(results["points"]) == 2
     assert 0.5 <= results["best_params"]["damping"] <= 25.0
+
+
+def test_data_subset(runner, tmp_path):
+    dst = str(tmp_path / "sub")
+    res = runner.invoke(cli, ["data", "subset", "--min-item-count", "20", ML, dst])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(cli, ["data", "describe", dst])
+    assert res.exit_code == 0, res.output
+    # dense subset has fewer items than the full 9k catalog
+    import re
+
+    m = re.search(r"items: (\d+)", res.output)
+    assert m and int(m.group(1)) < 9000
+
+
+def test_data_fetch_airgapped(runner, tmp_path, monkeypatch):
+    """fetch with no source dir and no network reports the air-gap cleanly."""
+    monkeypatch.delenv("LK_DATA_DIR", raising=False)
+    res = runner.invoke(
+        cli, ["data", "fetch", "no-such-dataset", str(tmp_path / "out")]
+    )
+    assert res.exit_code != 0
+    assert "not found in local mirrors" in res.output
+
+
+
+def test_data_fetch_from_source_dir(runner, tmp_path):
+    import pathlib
+
+    src_root = pathlib.Path(ML).parent
+    res = runner.invoke(
+        cli,
+        [
+            "data",
+            "fetch",
+            "--source-dir",
+            str(src_root),
+            "--convert",
+            "ml-latest-small",
+            str(tmp_path / "fetched"),
+        ],
+    )
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(cli, ["data", "describe", str(tmp_path / "fetched")])
+    assert res.exit_code == 0, res.output
