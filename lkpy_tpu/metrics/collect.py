@@ -80,6 +80,10 @@ class MeasurementCollector:
                 continue
             rows[entry.label] = accum.summary()
         df = pd.DataFrame(rows).T
+        if df.empty:
+            # global-only analyses: give the frame its column schema so the
+            # global rows below can be inserted
+            df = pd.DataFrame(columns=["mean", "median", "std", "count"])
         if global_vals:
             for label, v in global_vals.items():
                 df.loc[label] = {"mean": v, "median": np.nan, "std": np.nan, "count": np.nan}
@@ -124,11 +128,14 @@ class RunAnalysis:
         for key, out in outputs.items():
             t = test.lookup_projected(key)
             if t is None:
+                # the reference measures against an empty list so the row
+                # exists with NaN values, later filled by metric defaults
+                # (reference: _collect.py:180)
                 n_missing += 1
-                continue
+                t = ItemList()
             self.collector.measure_list(tuple(key), outputs.key_fields, out, t)
         if n_missing:
-            _log.warning("measurement skipped lists with no test data", count=n_missing)
+            _log.warning("no test data for some lists; measured against empty", count=n_missing)
         gvals = self.collector.measure_run(outputs, test)
         defaults = {e.label: e.default for e in self.collector.metrics}
         return RunAnalysisResult(self.collector.list_metrics(), self.collector.summary(gvals), defaults)
