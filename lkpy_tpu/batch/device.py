@@ -39,6 +39,16 @@ class BatchScorer(Protocol):  # pragma: no cover - protocol
 
 
 _dev_cache: dict = {}
+_DEV_CACHE_MAX = 32
+
+
+def invalidate_device_cache() -> None:
+    """Drop all cached device copies of scorer tables.
+
+    Call after mutating a scorer's embedding/bias arrays IN PLACE between
+    serving calls — the cache assumes trained tables are immutable (they are
+    for every trainer in this library, which always assigns fresh arrays)."""
+    _dev_cache.clear()
 
 
 def _cached_device(arr):
@@ -46,13 +56,23 @@ def _cached_device(arr):
 
     Serving calls repeatedly ship the (n_items, k) table to the device
     otherwise — 128 MB per call at 500k items, which dominated product
-    serving on remote (tunneled) backends.  Keyed by object identity with a
-    weakref eviction hook; jax arrays pass through untouched."""
+    serving on remote (tunneled) backends.  Keyed by object identity plus
+    the buffer address/shape/dtype (so a reallocated-in-place ndarray — the
+    only cheap observable change — misses); jax arrays pass through.
+
+    The cache assumes trained tables are NOT mutated in place between calls
+    (all library trainers assign fresh arrays); callers that do mutate must
+    call :func:`invalidate_device_cache`.  Bounded FIFO eviction keeps
+    non-weakrefable inputs from pinning host+device copies forever."""
     import weakref
 
     if isinstance(arr, jax.Array):
         return arr
-    key = id(arr)
+    try:
+        addr = arr.__array_interface__["data"][0]
+    except (AttributeError, TypeError, KeyError):
+        addr = None
+    key = (id(arr), addr, getattr(arr, "shape", None), str(getattr(arr, "dtype", "")))
     hit = _dev_cache.get(key)
     if hit is not None and hit[0]() is arr:
         return hit[1]
@@ -64,6 +84,8 @@ def _cached_device(arr):
         def ref(a=arr):
             return a
 
+    while len(_dev_cache) >= _DEV_CACHE_MAX:
+        _dev_cache.pop(next(iter(_dev_cache)))
     _dev_cache[key] = (ref, dev)
     return dev
 
@@ -240,11 +262,14 @@ def device_recommend(
             batch/_ray.py); the item table is replicated and per-query top-n
             needs no cross-device merge.
         exact: force exact (True) or hardware-TopK approximate (False)
-            retrieval; ``None`` (default) picks the hardware TopK on TPU for
-            catalogs ≥ 200k items (recall@n ≥ 0.99, logged once) and exact
-            otherwise.
+            retrieval; ``None`` (default) defers to ``settings.serving``:
+            hardware TopK on TPU for catalogs ≥
+            ``serving.approx_min_items`` (recall@n ≥ 0.99, warned once) and
+            exact otherwise — pin ``serving.exact = true`` to keep the
+            reference's always-exact batch behavior globally.
     """
-    from lkpy_tpu.ops.topk import FUSED_RETRIEVAL_MIN_ITEMS, _warn_approx_once
+    from lkpy_tpu.config import lkpy_tpu_config
+    from lkpy_tpu.ops.topk import _warn_approx_once
 
     arrays = _extract_arrays(scorer)
     if arrays is None:
@@ -267,11 +292,16 @@ def device_recommend(
     csr = matrix.csr(None)
 
     if exact is None:
-        method = (
-            "approx"
-            if jax.default_backend() == "tpu" and n_items >= FUSED_RETRIEVAL_MIN_ITEMS
-            else "exact"
-        )
+        serving = lkpy_tpu_config().serving
+        exact = serving.exact
+        if exact is None:
+            method = (
+                "approx"
+                if jax.default_backend() == "tpu" and n_items >= serving.approx_min_items
+                else "exact"
+            )
+        else:
+            method = "exact" if exact else "approx"
     else:
         method = "exact" if exact else "approx"
     if method == "approx":

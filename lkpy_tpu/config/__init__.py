@@ -25,6 +25,7 @@ __all__ = [
     "ParallelSettings",
     "MachineSettings",
     "CompileCacheSettings",
+    "ServingSettings",
     "lkpy_tpu_config",
     "configure",
     "ensure_compile_cache",
@@ -77,6 +78,22 @@ class CompileCacheSettings(BaseModel):
     "Only persist programs that took at least this long to compile."
 
 
+class ServingSettings(BaseModel):
+    """Batch-serving retrieval policy (``lkpy_tpu.batch.device``).
+
+    The reference's batch recommend is always exact
+    (reference: src/lenskit/batch/_runner.py:256); on TPU the hardware TopK
+    (``lax.approx_max_k``, recall ≥ ~0.99) is substantially faster for large
+    catalogs, so ``device_recommend(exact=None)`` switches to it at
+    ``approx_min_items``.  Set ``approx_min_items`` very large (or
+    ``exact = true``) to pin exact retrieval globally."""
+
+    exact: bool | None = None
+    "Force exact (true) or hardware-TopK (false) retrieval; null = auto."
+    approx_min_items: int = 200_000
+    "Catalog size at which auto mode switches to the hardware TopK."
+
+
 class Settings(BaseModel):
     """Root settings (reference: schemas/settings.py:218)."""
 
@@ -85,6 +102,7 @@ class Settings(BaseModel):
     machine: MachineSettings = Field(default_factory=MachineSettings)
     prometheus: PrometheusSettings = Field(default_factory=PrometheusSettings)
     compile_cache: CompileCacheSettings = Field(default_factory=CompileCacheSettings)
+    serving: ServingSettings = Field(default_factory=ServingSettings)
     data_dir: str | None = None
 
 
@@ -160,39 +178,49 @@ def configure(**kwargs):
         _overrides.reset(token)
 
 
-_cache_configured = False
+_cache_dir_applied: str | None = None
+
+
+def _cpu_primary_platform() -> bool:
+    """True when CPU is the *primary* JAX platform (first in the list).
+
+    ``JAX_PLATFORMS="tpu,cpu"`` keeps TPU primary — the cache must stay on
+    for such runs (a bare substring test disabled it; ADVICE r3)."""
+    plats = [p.strip() for p in os.environ.get("JAX_PLATFORMS", "").lower().split(",") if p.strip()]
+    return bool(plats) and plats[0] == "cpu"
 
 
 def ensure_compile_cache() -> None:
     """Configure JAX's persistent compilation cache from settings.
 
     Idempotent and safe to call before or after other jax use; called
-    automatically on ``import lkpy_tpu``.  Set
-    ``compile_cache.enabled = false`` (or ``LKT_COMPILE_CACHE_ENABLED=false``)
-    to opt out.
+    automatically on ``import lkpy_tpu`` and re-checked on every call, so a
+    later ``configure(compile_cache=...)`` override takes effect the next
+    time a library entry point runs.  Set ``compile_cache.enabled = false``
+    (or ``LKT_COMPILE_CACHE_ENABLED=false``) to opt out.
     """
-    global _cache_configured
-    if _cache_configured:
-        return
-    _cache_configured = True
+    global _cache_dir_applied
     cc = lkpy_tpu_config().compile_cache
     if not cc.enabled:
         return
     # CPU compiles are fast and CPU AOT cache entries are machine-feature
     # sensitive (cross-machine loads warn about SIGILL risk); the cache
-    # exists for the expensive TPU compiles, so skip explicit-CPU runs
-    # unless the user configured a cache dir themselves.
-    if cc.dir is None and "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    # exists for the expensive TPU compiles, so skip runs where CPU is the
+    # primary platform unless the user configured a cache dir themselves.
+    if cc.dir is None and _cpu_primary_platform():
         return
     cache_dir = cc.dir or os.environ.get("LKT_CACHE_DIR")
     if cache_dir is None:
         cache_dir = str(Path.home() / ".cache" / "lkpy_tpu" / "xla")
+    if cache_dir == _cache_dir_applied:
+        return
     try:
         import jax
 
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", cc.min_compile_secs)
+        _cache_dir_applied = cache_dir
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -185,10 +185,12 @@ def _gram_accum_sparse(
     (host→device traffic is O(nnz), not O(dense)).
 
     With ``bf16`` the dense slab is bfloat16 with f32 MXU accumulation —
-    ~4× the f32 matmul rate on v5e (measured 34 TF/s f32); the normalized
-    values are in [0, 1] so the ~0.4% bf16 rounding perturbs similarities
-    below the min_sim/top-k noise floor, and the approx-recall validation
-    still guards the final table."""
+    ~4× the f32 matmul rate on v5e (measured 34 TF/s f32).  The normalized
+    values are in [0, 1] so the ~0.4% bf16 input rounding perturbs
+    similarities near the min_sim threshold and can reorder near-tied
+    neighbors vs the reference's exact kernel; it is policy-controlled
+    (:func:`knn_bf16_default`, ``LKT_KNN_BF16_GRAM=0`` opts out) and a
+    failed recall validation rebuilds the whole Gram in f32."""
     dt = jnp.bfloat16 if bf16 else jnp.float32
     U = jnp.zeros((n_rows, n_cols), dtype=dt)
     U = U.at[rel_rows, cols].set(vals.astype(dt), mode="drop")
@@ -199,6 +201,18 @@ def _gram_accum_sparse(
 #: row sample against exact top-k; below this the build redoes itself exactly
 APPROX_RECALL_TARGET = 0.98
 _RECALL_SAMPLE_ROWS = 256
+
+
+def knn_bf16_default() -> bool:
+    """Default bf16-Gram-slab policy for the similarity build: on for TPU
+    (where it is ~4× the f32 Gram rate), off elsewhere; ``LKT_KNN_BF16_GRAM``
+    overrides (``0``/``false`` disables, anything else enables)."""
+    import os
+
+    v = os.environ.get("LKT_KNN_BF16_GRAM")
+    if v is not None:
+        return v not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
 
 
 def _sample_recall(exact_fn, out_idx, k: int, n_items: int, seed: int = 0) -> float:
@@ -240,6 +254,7 @@ def similarity_topk(
     max_dense_bytes: int = 4 << 30,
     approx: bool | None = None,
     recall_validate: bool = True,
+    bf16: bool | None = None,
 ) -> NeighborTable:
     """
     Top-K thresholded cosine similarity (reference: item_train.rs:95).
@@ -251,6 +266,10 @@ def similarity_topk(
       dense *user* chunks (each an MXU matmul), then tiled threshold+top-k.
       S is n_items² f32 — fine through ~50k items on one chip; beyond that,
       pass a mesh via :func:`lkpy_tpu.parallel.knn.sharded_similarity_topk`.
+
+    ``bf16`` controls the Gram slab precision on the large path (default:
+    :func:`knn_bf16_default` — on for TPU, ``LKT_KNN_BF16_GRAM=0`` opts
+    out); a failed recall validation rebuilds the Gram in f32.
 
     When the approximate top-k path is used (large catalogs on TPU), the
     result's recall is validated on a ``_RECALL_SAMPLE_ROWS`` row sample
@@ -313,7 +332,6 @@ def similarity_topk(
         # chunks are densified ON DEVICE so host→device traffic is O(nnz)
         user_chunk = max(max_dense_bytes // (n_items * 4), 1024)
         ui_csr = iu_csr.transpose()  # user-major
-        S = jnp.zeros((n_items, n_items), dtype=jnp.float32)
         chunks = []
         for ulo in range(0, n_users, user_chunk):
             uhi = min(ulo + user_chunk, n_users)
@@ -322,9 +340,8 @@ def similarity_topk(
             rel = np.repeat(np.arange(uhi - ulo, dtype=np.int32), lens)
             chunks.append((rel, ui_csr.colind[s:e], ui_csr.values[s:e] if ui_csr.values is not None else np.ones(e - s, np.float32)))
         nnz_pad = max(_pad_pow2(max(len(c[0]) for c in chunks)), 8)
-        # bf16 slab + f32 accumulate on TPU: ~4x the f32 Gram rate (34 TF/s
-        # measured f32); rounding is guarded by the recall validation below
-        bf16 = jax.default_backend() == "tpu"
+        if bf16 is None:
+            bf16 = knn_bf16_default()
         # ship ALL chunk arrays first (async) so host->device transfers
         # overlap instead of serializing with each Gram step (remote-tunnel
         # transfers cost ~1-2 s/chunk otherwise)
@@ -337,12 +354,22 @@ def similarity_topk(
             dev_chunks.append((jnp.asarray(rel), jnp.asarray(cc), jnp.asarray(vv.astype(np.float32))))
         for t in dev_chunks:
             jax.block_until_ready(t)
-        for rel_j, cc_j, vv_j in dev_chunks:
-            S = _gram_accum_sparse(S, rel_j, cc_j, vv_j, user_chunk, n_items, bf16)
-            jax.block_until_ready(S)  # keep the remote queue shallow (donated 2.9GB buffer)
+
+        def build_gram(use_bf16: bool):
+            S = jnp.zeros((n_items, n_items), dtype=jnp.float32)
+            for rel_j, cc_j, vv_j in dev_chunks:
+                S = _gram_accum_sparse(S, rel_j, cc_j, vv_j, user_chunk, n_items, use_bf16)
+                jax.block_until_ready(S)  # keep the remote queue shallow (donated 2.9GB buffer)
+            return S
+
+        S = build_gram(bf16)
         fn = lambda S, s, m, k, t, af: _tile_topk_at(S, s, m, k=k, tile=t, approx=af)
         run_tiles(fn, S)
         if not check_recall(fn, S):
+            # rebuild exactly: f32 Gram (bf16 rounding is invalidated too,
+            # ADVICE r3) + exact top-k tiles
+            if bf16:
+                S = build_gram(False)
             run_tiles(fn, S, approx_flag=False)
 
     return NeighborTable(out_idx, out_sim)

@@ -50,13 +50,17 @@ _warned_approx = False
 
 
 def _warn_approx_once(n_items: int, recall_target: float) -> None:
+    """Warn (once) that retrieval switched to approximate hardware TopK —
+    the reference's batch recommend is exact, so results may differ on large
+    catalogs; ``settings.serving.exact = true`` pins exact globally."""
     global _warned_approx
     if not _warned_approx:
         _warned_approx = True
         from lkpy_tpu.logging import get_logger
 
-        get_logger(__name__).info(
-            "using TPU hardware TopK (approximate) retrieval",
+        get_logger(__name__).warning(
+            "using TPU hardware TopK (approximate) retrieval; "
+            "set serving.exact=true (or exact=True) for reference-exact results",
             n_items=n_items,
             recall_target=recall_target,
         )

@@ -54,6 +54,39 @@ def test_sharded_memory_bounded(mesh, iu_csr):
     np.testing.assert_allclose(sharded.sims, single.sims, atol=1e-5)
 
 
+def test_streaming_build_matches_dense(mesh, iu_csr):
+    """VERDICT r3 #6: with a per-device S budget far below the full
+    (rows_per, n_items) block, the build streams row blocks (accumulate →
+    truncate → discard) and must match the single-device exact build — no
+    n_items² similarity tensor may be required."""
+    n_items, _ = iu_csr.shape
+    d = 2  # model-axis size
+    rows_per = -(-n_items // d)
+    full_block = rows_per * n_items * 4
+    budget = full_block // 8  # forces >= 8 streamed sub-blocks per device
+    streamed = sharded_similarity_topk(
+        iu_csr, 10, 1e-6, mesh=mesh, sim_block_bytes=budget
+    )
+    single = similarity_topk(iu_csr, 10, 1e-6, approx=False)
+    np.testing.assert_allclose(streamed.sims, single.sims, atol=1e-5)
+
+
+def test_streaming_build_respects_user_chunking(mesh, iu_csr):
+    """Streaming S blocks combined with multiple user chunks (both budgets
+    tiny): every block still accumulates over every chunk before truncation."""
+    n_items, n_users = iu_csr.shape
+    streamed = sharded_similarity_topk(
+        iu_csr,
+        7,
+        1e-6,
+        mesh=mesh,
+        max_dense_bytes=n_items * n_users * 4 // 5,
+        sim_block_bytes=(-(-n_items // 2)) * n_items * 4 // 4,
+    )
+    single = similarity_topk(iu_csr, 7, 1e-6, approx=False)
+    np.testing.assert_allclose(streamed.sims, single.sims, atol=1e-5)
+
+
 def test_sharded_rows_not_divisible(mesh):
     """Item count not divisible by the model axis: padding rows are trimmed."""
     rng = np.random.default_rng(5)
