@@ -147,8 +147,8 @@ def main():
     log(f"dataset built: {nnz} train / {len(test_u)} test interactions ({time.time() - t0:.1f}s)")
 
     # ---- 1. ALS training throughput --------------------------------------
-    u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096))
-    i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536))
+    u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096, ratio=1.5))
+    i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536, ratio=1.5))
     u_stats = chunk_stats(u_buckets)
     i_stats = chunk_stats(i_buckets)
     occupancy = (u_stats["real_entries"] + i_stats["real_entries"]) / (

@@ -89,6 +89,22 @@ def _bf16_gram() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _bf16_table() -> bool:
+    """Gather the opposite-side factors from a bf16 copy of the table and
+    feed the rhs einsum bf16 inputs (f32 accumulation).  The factor gather
+    is the epoch bottleneck (measured ~4.7 ns/row f32 vs ~4.1 bf16 — an
+    XLA-gather issue-rate wall, see PARITY.md); this trades ~4e-3 relative
+    rhs rounding for ~10% epoch throughput.  End-to-end ML-20M NDCG@10 is
+    unchanged (bench.py checks every run).  Opt out with
+    ``LKT_ALS_BF16_TABLE=0``; implied off when ``LKT_ALS_BF16_GRAM=0``."""
+    import os
+
+    v = os.environ.get("LKT_ALS_BF16_TABLE")
+    if v is not None:
+        return v not in ("0", "false", "False")
+    return _bf16_gram()
+
+
 @jax.jit
 def solve_explicit_bucket(
     cols: jax.Array,  # (B, P) int32
@@ -388,6 +404,111 @@ def _solve_large_bucket(A, y):
     return _solve_rows_blocked(A.reshape(C * B, k, k), y.reshape(C * B, k)).reshape(C, B, k)
 
 
+def _pad_k_lanes(A, y):
+    """Pad lanes-layout normal equations (C, k, k, B)/(C, k, B) so k is a
+    multiple of 8 (GJ panel width); padded dims solve an identity block."""
+    k = A.shape[1]
+    p = (-k) % 8
+    if not p:
+        return A, y, k
+    A = jnp.pad(A, ((0, 0), (0, p), (0, p), (0, 0)))
+    eye_pad = jnp.concatenate([jnp.zeros((k,), jnp.float32), jnp.ones((p,), jnp.float32)])
+    A = A + (jnp.diag(eye_pad))[None, :, :, None]
+    y = jnp.pad(y, ((0, 0), (0, p), (0, 0)))
+    return A, y, k
+
+
+@jax.jit
+def _fused_scan_implicit(cols, conf, mask, right, otor):
+    """One bucket, fully fused: scan gather+Gram+y (lanes layout) → blocked
+    Gauss-Jordan solve (:func:`lkpy_tpu.ops.pallas_gj.spd_solve_lanes_chunked`,
+    4.3 M k=64 solves/s vs 0.7 for the pooled blocked Cholesky) → (C, B, k)
+    solutions.  ONE program per bucket width — the normal equations never
+    cross a program boundary and the solve programs of rounds 2–3 disappear
+    (cold-start win).  The ``ijb`` einsum output is measured free vs ``bij``."""
+    from lkpy_tpu.ops.pallas_gj import spd_solve_lanes_chunked
+
+    bf_tab = _bf16_gram() and _bf16_table()
+    tab = right.astype(jnp.bfloat16) if bf_tab else right
+
+    def body(_, xs):
+        c, v, m = xs
+        G = tab[c]
+        cm = v * m
+        if _bf16_gram():
+            Gb = G if bf_tab else G.astype(jnp.bfloat16)
+            A = jnp.einsum(
+                "bpi,bp,bpj->ijb",
+                Gb,
+                cm.astype(jnp.bfloat16),
+                Gb,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # explicit HIGHEST: plain f32 einsums still downcast to bf16 on
+            # the TPU MXU by default — opting out of bf16 must mean f32
+            A = jnp.einsum(
+                "bpi,bp,bpj->ijb", G, cm, G,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        yv = ((v + 1.0) * m).astype(G.dtype)
+        y = jnp.einsum("bpi,bp->ib", G, yv, preferred_element_type=jnp.float32)
+        return None, (A + otor[:, :, None], y)
+
+    _, (A, y) = jax.lax.scan(body, None, (cols, conf, mask))
+    A, y, k = _pad_k_lanes(A, y)
+    x = spd_solve_lanes_chunked(A, y)  # (C, kp, B)
+    return x[:, :k, :].transpose(0, 2, 1)  # (C, B, k)
+
+
+@jax.jit
+def _fused_scan_explicit(cols, vals, mask, right, reg):
+    from lkpy_tpu.ops.pallas_gj import spd_solve_lanes_chunked
+
+    k_ = right.shape[1]
+    eye = jnp.eye(k_, dtype=jnp.float32)
+    bf_tab = _bf16_gram() and _bf16_table()
+    tab = right.astype(jnp.bfloat16) if bf_tab else right
+
+    def body(_, xs):
+        c, v, m = xs
+        G = tab[c]
+        mm = m.astype(jnp.float32)
+        if _bf16_gram():
+            Gb = G if bf_tab else G.astype(jnp.bfloat16)
+            Gmb = Gb * mm.astype(jnp.bfloat16)[:, :, None]
+            A = jnp.einsum(
+                "bpi,bpj->ijb", Gmb, Gb, preferred_element_type=jnp.float32
+            )
+            if bf_tab:
+                y = jnp.einsum(
+                    "bpi,bp->ib", Gmb, v.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                y = jnp.einsum(
+                    "bpi,bp->ib", G * mm[:, :, None], v,
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            Gm = G * mm[:, :, None]
+            A = jnp.einsum(
+                "bpi,bpj->ijb", Gm, G,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            y = jnp.einsum("bpi,bp->ib", Gm, v, preferred_element_type=jnp.float32)
+        n_u = jnp.sum(mm, axis=1)  # (B,)
+        A = A + eye[:, :, None] * (reg * n_u)[None, None, :]
+        return None, (A, y)
+
+    _, (A, y) = jax.lax.scan(body, None, (cols, vals, mask))
+    A, y, k = _pad_k_lanes(A, y)
+    x = spd_solve_lanes_chunked(A, y)
+    return x[:, :k, :].transpose(0, 2, 1)
+
+
 @jax.jit
 def _solve_scan_implicit(cols, conf, mask, right, otor):
     """Scan one bucket's fixed-shape chunks; returns stacked solutions.
@@ -495,28 +616,17 @@ def _run_half(left, right, reg, chunks, mode: str, mesh, serialize: bool = False
             jax.block_until_ready(x)
         return x
 
-    total_rows = sum(ch.cols.shape[0] * ch.cols.shape[1] for ch in chunks)
-    if on_tpu and mesh is None and total_rows >= _BLOCKED_MIN_ROWS:
-        k = right.shape[1]
-        A_parts = []
-        y_parts = []
+    if on_tpu and mesh is None:
+        # round-4 path: per-bucket fused gather→Gram→GJ-solve programs (the
+        # lanes-layout Pallas GJ runs at 4.3 M k=64 solves/s vs 0.7 for the
+        # round-3 pooled blocked Cholesky, and the separate solve programs
+        # disappear — fewer program loads on cold start)
         for ch in chunks:
-            C, B, _P = ch.cols.shape
             if mode == "explicit":
-                A, y = _gram_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
+                xs = _fused_scan_explicit(ch.cols, ch.values, ch.mask, right, reg)
             else:
-                A, y = _gram_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
-            _sync(y)
-            A_parts.append(A.reshape(C * B, k, k))
-            y_parts.append(y.reshape(C * B, k))
-        A_all = A_parts[0] if len(A_parts) == 1 else jnp.concatenate(A_parts, axis=0)
-        y_all = y_parts[0] if len(y_parts) == 1 else jnp.concatenate(y_parts, axis=0)
-        xs_all = _solve_rows_blocked(A_all, y_all, serialize=serialize)
-        off = 0
-        for ch in chunks:
-            C, B, _P = ch.cols.shape
-            xs = xs_all[off : off + C * B].reshape(C, B, k)
-            off += C * B
+                xs = _fused_scan_implicit(ch.cols, ch.values, ch.mask, right, otor)
+            _sync(xs)
             left, dsq = apply_update(left, ch.rows, xs, dsq)
             _sync(dsq)
         return left, dsq
