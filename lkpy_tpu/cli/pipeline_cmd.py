@@ -15,16 +15,24 @@ def pipeline():
 
 
 @pipeline.command("expand")
-@click.option("-m", "--model", "model_spec", required=True)
+@click.option("-m", "--model", "model_spec", default=None)
+@click.option("-f", "--file", "spec_file", type=click.Path(exists=True), default=None, help="pipeline spec TOML (pipelines/*.toml)")
 @click.option("-p", "--param", "params", multiple=True)
 @click.option("-n", "--list-length", type=int, default=None)
 @click.option("-o", "--output", type=click.Path(), default=None)
-def expand(model_spec, params, list_length, output):
+def expand(model_spec, spec_file, params, list_length, output):
     """Expand a model spec into a full pipeline config (reference: cli/pipeline/expand)."""
     from lkpy_tpu.pipeline import topn_pipeline
 
-    scorer = resolve_model(model_spec, parse_params(params))
-    pipe = topn_pipeline(scorer, n=list_length, name=model_spec)
+    if spec_file:
+        from lkpy_tpu.pipeline.specfile import load_pipeline_file
+
+        pipe = load_pipeline_file(spec_file).build(n=list_length)
+    elif model_spec:
+        scorer = resolve_model(model_spec, parse_params(params))
+        pipe = topn_pipeline(scorer, n=list_length, name=model_spec)
+    else:
+        raise click.UsageError("one of -m/--model or -f/--file is required")
     cfg = pipe.get_config().model_dump(mode="json", exclude_none=True)
     if output:
         from lkpy_tpu.schemas import dump_model_data

@@ -25,7 +25,18 @@ def tune(spec_file, output, test_frac, seed, data):
     from lkpy_tpu.splitting import SampleFrac, sample_users
     from lkpy_tpu.tuning import PipelineTuner, TuningSpec
 
-    spec = load_model_data(Path(spec_file), TuningSpec)
+    spec_path = Path(spec_file)
+    if spec_path.suffix == ".toml":
+        # pipelines/*-search.toml spec-file shape (reference:
+        # pipelines/als-implicit-search.toml) — [search] + [space.scorer]
+        from lkpy_tpu.pipeline.specfile import is_search_file, load_search_file
+
+        if is_search_file(spec_path):
+            spec = load_search_file(spec_path)
+        else:
+            spec = load_model_data(spec_path, TuningSpec)
+    else:
+        spec = load_model_data(spec_path, TuningSpec)
 
     ds = load_dataset(data)
     split = sample_users(ds, max(ds.user_count // 5, 1), SampleFrac(test_frac, rng=seed), rng=seed)

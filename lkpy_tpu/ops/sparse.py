@@ -140,14 +140,21 @@ def pad_rows(
     )
 
 
+_FINE_LADDER_BELOW = 1024
+
+
 def _width_ladder(min_width: int, cap: int, ratio: float) -> list[int]:
     """Geometric bucket-width ladder.  ``ratio=2.0`` is the classic
     power-of-two ladder (worst-case occupancy 0.5); ``ratio=1.5`` inserts
     mid widths (worst 0.67, measured combined occupancy 0.73 → ~0.86 on the
-    ML-20M bench) at the cost of ~50% more compiled bucket programs."""
+    ML-20M bench) at the cost of more compiled bucket programs.  Above
+    ``_FINE_LADDER_BELOW`` the ladder always steps ×2: wide rows are few,
+    so the padding saved there is small while every extra bucket costs a
+    whole compiled program (seconds of load time on remote backends)."""
     widths = [min_width]
     while widths[-1] < cap:
-        nxt = int(widths[-1] * ratio)
+        r = ratio if widths[-1] < _FINE_LADDER_BELOW else 2.0
+        nxt = int(widths[-1] * r)
         nxt = round_up(nxt, 8 if nxt >= 16 else 4)
         if nxt <= widths[-1]:
             nxt = widths[-1] * 2

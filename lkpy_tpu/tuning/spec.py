@@ -7,19 +7,34 @@ from __future__ import annotations
 from typing import Any, Literal
 
 import numpy as np
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, Field, model_validator
 
 __all__ = ["ParamSpace", "TuningSpec"]
 
 
 class ParamSpace(BaseModel):
-    """A search dimension: int/float range (optionally log-scaled) or choices."""
+    """A search dimension: int/float range (optionally log-scaled) or choices.
+
+    ``scale`` accepts the reference's pipeline-file vocabulary
+    (reference: pipelines/als-implicit-search.toml): ``"log"`` maps to
+    ``log=True``; ``"pow2"`` samples powers of two within [min, max]."""
 
     type: Literal["int", "float", "categorical"] = "float"
     min: float | None = None
     max: float | None = None
     log: bool = False
+    scale: Literal["linear", "log", "pow2"] | None = None
     choices: list[Any] | None = None
+
+    @model_validator(mode="after")
+    def _apply_scale(self):
+        if self.scale == "log":
+            self.log = True
+        elif self.scale == "pow2" and self.choices is None:
+            lo = int(np.ceil(np.log2(float(self.min))))
+            hi = int(np.floor(np.log2(float(self.max))))
+            self.choices = [2**e for e in range(lo, hi + 1)]
+        return self
 
     def sample(self, rng: np.random.Generator):
         if self.choices is not None:

@@ -38,5 +38,30 @@ check test -s "$WORK/pipe.pkl"
 check cli recommend -m "$WORK/pipe.pkl" -n 5 1
 check cli doctor
 
+# shipped pipeline library (reference: pipelines/als-implicit-search.toml):
+# expand one spec file and run a real (tiny) tune through a search file
+check cli pipeline expand -f "$REPO/pipelines/als-implicit.toml"
+cat > "$WORK/bias-tune.toml" <<'EOF'
+[search]
+max_points = 2
+list_length = 20
+metric = "RMSE"
+
+[space.scorer]
+damping.user = { type = "float", min = 0.1, max = 100, scale = "log" }
+damping.item = { type = "float", min = 0.1, max = 100, scale = "log" }
+
+[pipeline.meta]
+name = "bias"
+
+[pipeline.options]
+base = "std:topn-predict"
+
+[pipeline.components.scorer]
+class = "lkpy_tpu.models.bias:BiasScorer"
+EOF
+check cli tune -s "$WORK/bias-tune.toml" -o "$WORK/tune.json" "$WORK/dense"
+check test -s "$WORK/tune.json"
+
 echo "1..$N"
 exit $FAIL
