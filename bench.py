@@ -179,11 +179,18 @@ def main():
 
     tw = time.time()
     # serialized compile+load priming (see ops/als.py warm_epoch_programs)
-    warm_epoch_programs(u_buckets, i_buckets, N_USERS, N_ITEMS, K, "implicit")
+    prog_times: list = []
+    warm_epoch_programs(u_buckets, i_buckets, N_USERS, N_ITEMS, K, "implicit", timings=prog_times)
     u, i = epoch(u, i)
     sync(i)
     warmup_s = time.time() - tw
+    prog_total = sum(t for _, t in prog_times)
+    top_progs = sorted(prog_times, key=lambda x: -x[1])[:5]
     log(f"warm-up (priming + first epoch): {warmup_s:.1f}s (cache warm: {cache_entries_before > 0})")
+    log(
+        f"  programs primed: {len(prog_times)}, load+compile total {prog_total:.1f}s; "
+        f"slowest: {[(lbl, round(t, 1)) for lbl, t in top_progs]}"
+    )
 
     ts = time.time()
     for _ in range(EPOCHS):
@@ -253,9 +260,17 @@ def main():
     def product_qps(scorer_, matrix_, user_ids, n=100, reps=4, **kw):
         device_recommend(scorer_, user_ids, n, matrix_, **kw)  # warm
         tq = time.time()
+        tm: dict = {}
         for _ in range(reps):
-            out = device_recommend(scorer_, user_ids, n, matrix_, **kw)
-        return len(user_ids) * reps / (time.time() - tq), out
+            out = device_recommend(scorer_, user_ids, n, matrix_, timings=tm, **kw)
+        qps = len(user_ids) * reps / (time.time() - tq)
+        # last rep's phase split: enqueue (host prep + dispatch) vs readback
+        # (device completion + D2H) — makes "tunnel latency" a measurement
+        log(
+            f"  phase split (last rep): enqueue {tm.get('enqueue_s', 0):.3f}s, "
+            f"readback {tm.get('readback_s', 0):.3f}s"
+        )
+        return qps, out, tm
 
     serve_users = rng.choice(np.asarray(ds.users.ids), size=4096, replace=False)
     # fold-in path: the default product config recomputes user embeddings
@@ -266,7 +281,7 @@ def main():
     fold_scorer.user_embeddings = scorer.user_embeddings
     fold_scorer.item_embeddings = scorer.item_embeddings
     fold_scorer._OtOr = scorer._OtOr
-    qps_27k, _ = product_qps(fold_scorer, matrix, serve_users)
+    qps_27k, _, tm_27k = product_qps(fold_scorer, matrix, serve_users)
     log(f"product serving qps (27k items, fold-in + masking + top-100): {qps_27k:.3e}")
 
     # 500k-item catalog: synthetic embeddings + synthetic history matrix
@@ -287,7 +302,7 @@ def main():
         config=SimpleNamespace(user_embeddings="prefer"),
     )
     big_users = np.arange(4096, dtype=np.int64)
-    qps_500k, approx_out = product_qps(big_scorer, big_matrix, big_users)
+    qps_500k, approx_out, tm_500k = product_qps(big_scorer, big_matrix, big_users)
     log(f"product serving qps (500k items, hardware TopK + masking + top-100): {qps_500k:.3e}")
 
     # recall@100 of the hardware-TopK product path vs the exact product path
@@ -335,6 +350,112 @@ def main():
         f"{CPU_BASELINE_KNN_BUILD_S / knn_build_s:.1f}x)"
     )
 
+    # ---- 5. explicit ALS (BiasedMF kernels, 50 factors; north star #2) ---
+    KE = 50  # exercises the k%8 lane-padding path of the GJ solver
+    t_ex = time.time()
+    # synthetic ratings over the same interactions: per-item quality +
+    # per-user shift + noise — MF recovers the signal, RMSE is meaningful
+    q_i = rng.normal(0, 0.6, size=N_ITEMS).astype(np.float32)
+    s_u = rng.normal(0, 0.3, size=N_USERS).astype(np.float32)
+    ratings = np.clip(
+        3.5 + q_i[tr_i] + s_u[tr_u] + rng.normal(0, 0.7, size=nnz).astype(np.float32), 0.5, 5.0
+    ).astype(np.float32)
+    test_r = np.clip(
+        3.5 + q_i[test_i] + s_u[test_u] + rng.normal(0, 0.7, size=len(test_u)).astype(np.float32),
+        0.5,
+        5.0,
+    ).astype(np.float32)
+    # damped bias model on the host (reference bias damping=5), residuals to device
+    mu = ratings.mean()
+    r0 = ratings - mu
+    bi = np.bincount(tr_i, weights=r0, minlength=N_ITEMS) / (np.bincount(tr_i, minlength=N_ITEMS) + 5.0)
+    r1 = r0 - bi[tr_i]
+    bu = np.bincount(tr_u, weights=r1, minlength=N_USERS) / (np.bincount(tr_u, minlength=N_USERS) + 5.0)
+    resid = (r1 - bu[tr_u]).astype(np.float32)
+    ui_e = CSR.from_coo(tr_u, tr_i, resid, (N_USERS, N_ITEMS))
+    ue_buckets = chunk_buckets(bucket_rows(ui_e, field="rating", max_width=4096, ratio=1.5))
+    ie_buckets = chunk_buckets(bucket_rows(ui_e.transpose(), field="rating", max_width=65536, ratio=1.5))
+    ue = jnp.asarray((rng.standard_normal((N_USERS, KE)) * 0.01).astype(np.float32))
+    ie = jnp.asarray((rng.standard_normal((N_ITEMS, KE)) * 0.01).astype(np.float32))
+    warm_epoch_programs(ue_buckets, ie_buckets, N_USERS, N_ITEMS, KE, "explicit")
+    ue, ie, _d1, _d2 = als_epoch(ue_buckets, ie_buckets, ue, ie, 0.1, 0.1, mode="explicit")
+    sync(ie)
+    t_exw = time.time() - t_ex
+    ts = time.time()
+    for _ in range(EPOCHS):
+        ue, ie, _d1, _d2 = als_epoch(ue_buckets, ie_buckets, ue, ie, 0.1, 0.1, mode="explicit")
+    sync(ie)
+    dt_ex = time.time() - ts
+    explicit_exps = nnz * 2 * EPOCHS / dt_ex
+    for _ in range(10 - 1 - EPOCHS):
+        ue, ie, _d1, _d2 = als_epoch(ue_buckets, ie_buckets, ue, ie, 0.1, 0.1, mode="explicit")
+    ue_np, ie_np = np.asarray(ue), np.asarray(ie)
+    pred = mu + bi[test_i] + bu[test_u] + np.sum(ue_np[test_u] * ie_np[test_i], axis=1)
+    rmse_ex = float(np.sqrt(np.mean((np.clip(pred, 0.5, 5.0) - test_r) ** 2)))
+    rmse_bias = float(np.sqrt(np.mean((np.clip(mu + bi[test_i] + bu[test_u], 0.5, 5.0) - test_r) ** 2)))
+    log(
+        f"explicit ALS (k=50): {explicit_exps:.3e} examples/s/chip "
+        f"(warm {t_exw:.1f}s); holdout RMSE {rmse_ex:.4f} (bias-only {rmse_bias:.4f}, noise floor ~0.7)"
+    )
+
+    # free the big resident device intermediates (epoch buckets hold ~GBs of
+    # padded cols/vals; serving cached 500k tables) before the gradient
+    # family allocates its training state
+    import gc
+
+    from lkpy_tpu.batch.device import invalidate_device_cache
+
+    del u_buckets, i_buckets, ue_buckets, ie_buckets, u, i, ue, ie, big_items, big_scorer
+    invalidate_device_cache()
+    gc.collect()
+
+    # ---- 6. gradient family training throughput (north stars #4-5) -------
+    from lkpy_tpu.models.flexmf import FlexMFImplicitScorer
+    from lkpy_tpu.training import TrainingOptions
+
+    fmf = FlexMFImplicitScorer(
+        FlexMFImplicitScorer.validate_config(
+            {"embedding_size": 64, "loss": "pairwise", "batch_size": 32768, "epochs": 5}
+        )
+    )
+    t_f = time.time()
+    ftr = fmf.create_trainer(ds, TrainingOptions(rng=42))
+    ftr.train_epoch()  # compile + first epoch
+    flexmf_warm_s = time.time() - t_f
+    t_f = time.time()
+    ftr.train_epoch()
+    flexmf_epoch_s = time.time() - t_f
+    flexmf_exps = nnz / flexmf_epoch_s
+    for _ in range(3):
+        ftr.train_epoch()
+    ftr.finalize()
+    recs_f = device_recommend(fmf, test_user_ids, 10, matrix)
+    nd_f = ndcg10(
+        [key[0] for key, _ in recs_f.items()], [list(il.ids()) for _, il in recs_f.items()], test_u, test_i
+    )
+    log(
+        f"FlexMF-BPR train: {flexmf_exps:.3e} examples/s/chip "
+        f"(epoch {flexmf_epoch_s:.2f}s, warm {flexmf_warm_s:.1f}s); NDCG@10 after 5 epochs {nd_f:.4f}"
+    )
+
+    from lkpy_tpu.models.lightgcn import LightGCNScorer
+
+    lgc = LightGCNScorer(
+        LightGCNScorer.validate_config({"embedding_size": 64, "batch_size": 32768, "epochs": 2})
+    )
+    t_l = time.time()
+    ltr = lgc.create_trainer(ds, TrainingOptions(rng=42))
+    ltr.train_epoch()
+    lightgcn_warm_s = time.time() - t_l
+    t_l = time.time()
+    ltr.train_epoch()
+    lightgcn_epoch_s = time.time() - t_l
+    lightgcn_exps = nnz / lightgcn_epoch_s
+    log(
+        f"LightGCN train: {lightgcn_exps:.3e} examples/s/chip "
+        f"(epoch {lightgcn_epoch_s:.2f}s, warm {lightgcn_warm_s:.1f}s, 2 conv layers)"
+    )
+
     print(
         json.dumps(
             {
@@ -360,6 +481,18 @@ def main():
                     "serving_qps_ceiling_500k_items": round(ceil_500k, 1),
                     "knn_similarity_build_s_27k_items": round(knn_build_s, 1),
                     "knn_build_vs_cpu_baseline": round(CPU_BASELINE_KNN_BUILD_S / knn_build_s, 2),
+                    "warmup_programs_primed": len(prog_times),
+                    "warmup_program_load_s": round(prog_total, 1),
+                    "serving_27k_enqueue_s": round(tm_27k.get("enqueue_s", 0.0), 3),
+                    "serving_27k_readback_s": round(tm_27k.get("readback_s", 0.0), 3),
+                    "serving_500k_enqueue_s": round(tm_500k.get("enqueue_s", 0.0), 3),
+                    "serving_500k_readback_s": round(tm_500k.get("readback_s", 0.0), 3),
+                    "als_explicit_train_examples_per_s_per_chip": round(explicit_exps, 1),
+                    "als_explicit_rmse": round(rmse_ex, 4),
+                    "als_explicit_rmse_bias_only": round(rmse_bias, 4),
+                    "flexmf_bpr_train_examples_per_s_per_chip": round(flexmf_exps, 1),
+                    "flexmf_bpr_ndcg_at_10_5_epochs": round(nd_f, 4),
+                    "lightgcn_train_examples_per_s_per_chip": round(lightgcn_exps, 1),
                 },
             }
         )

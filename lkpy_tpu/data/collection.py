@@ -292,7 +292,7 @@ class ArrayTopNILC(ItemListCollection):
         key_arr = np.array([list(k) for k in self._keys], dtype=object)
         for j, f in enumerate(self._fields):
             data[f] = key_arr[rows, j]
-        data["item_id"] = self._vocab.ids(nums)
+        data["item_id"] = self._vocab.id_array(nums)
         data["score"] = self._scores[rows, pos]
         data["rank"] = (pos + 1).astype(np.int32)
         return pd.DataFrame(data)

@@ -62,14 +62,46 @@ class LightGCNConfig(EmbeddingSizeMixin, BaseModel):
         return np.full(k + 1, self.layer_blend, dtype=np.float32)
 
 
+#: edge count above which the SpMM accumulates in fixed-size edge chunks —
+#: the one-shot segment_sum materializes a (nnz, k) tensor (3.6 GB at
+#: ML-20M/k=64, doubled by the backward pass), which OOMed HBM alongside the
+#: resident training state; the scan form bounds it to (chunk, k)
+_SPMM_CHUNK_MIN = 2_000_000
+_SPMM_CHUNK = 524_288
+
+
+def _spmm_chunked(vals, src_idx, dst_idx, src, n_dst):
+    """dst[d] += Σ v·src[s] over edges, scanned in fixed-size chunks."""
+    nnz = vals.shape[0]
+    C = -(-nnz // _SPMM_CHUNK)
+    pad = C * _SPMM_CHUNK - nnz
+    v = jnp.pad(vals, (0, pad)).reshape(C, _SPMM_CHUNK)
+    s = jnp.pad(src_idx, (0, pad)).reshape(C, _SPMM_CHUNK)
+    d = jnp.pad(dst_idx, (0, pad), constant_values=n_dst).reshape(C, _SPMM_CHUNK)  # OOB -> drop
+
+    def body(acc, xs):
+        vv, ss, dd = xs
+        return acc.at[dd].add(vv[:, None] * src[ss], mode="drop"), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((n_dst, src.shape[1]), src.dtype), (v, s, d))
+    return acc
+
+
 def propagate(u, i, conv, blend):
     """Symmetric-normalized LightGCN propagation; blended layer mean."""
     rows, cols, vals, n_users, n_items = conv
+    if vals.shape[0] >= _SPMM_CHUNK_MIN:
+        spmm = _spmm_chunked
+    else:
+
+        def spmm(v, s_idx, d_idx, src, n_dst):
+            return jax.ops.segment_sum(v[:, None] * src[s_idx], d_idx, num_segments=n_dst)
+
     u_acc = u * blend[0]
     i_acc = i * blend[0]
     for l in range(1, len(blend)):
-        u_new = jax.ops.segment_sum(vals[:, None] * i[cols], rows, num_segments=n_users)
-        i_new = jax.ops.segment_sum(vals[:, None] * u[rows], cols, num_segments=n_items)
+        u_new = spmm(vals, cols, rows, i, n_users)
+        i_new = spmm(vals, rows, cols, u, n_items)
         u, i = u_new, i_new
         u_acc = u_acc + u * blend[l]
         i_acc = i_acc + i * blend[l]
