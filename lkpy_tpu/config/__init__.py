@@ -185,9 +185,20 @@ def _cpu_primary_platform() -> bool:
     """True when CPU is the *primary* JAX platform (first in the list).
 
     ``JAX_PLATFORMS="tpu,cpu"`` keeps TPU primary — the cache must stay on
-    for such runs (a bare substring test disabled it; ADVICE r3)."""
-    plats = [p.strip() for p in os.environ.get("JAX_PLATFORMS", "").lower().split(",") if p.strip()]
-    return bool(plats) and plats[0] == "cpu"
+    for such runs (a bare substring test disabled it; ADVICE r3).  Checks
+    the env var AND the jax config value (``jax.config.update``-style CPU
+    forcing, e.g. the multichip dryrun, must not pollute the TPU cache with
+    machine-feature-sensitive CPU AOT entries)."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if not plats:
+        try:
+            import jax
+
+            plats = jax.config.values.get("jax_platforms") or ""
+        except Exception:  # pragma: no cover
+            plats = ""
+    parts = [p.strip() for p in plats.lower().split(",") if p.strip()]
+    return bool(parts) and parts[0] == "cpu"
 
 
 def ensure_compile_cache() -> None:

@@ -140,17 +140,18 @@ def pad_rows(
     )
 
 
-_FINE_LADDER_BELOW = 1024
+_FINE_LADDER_BELOW = 32_768
 
 
 def _width_ladder(min_width: int, cap: int, ratio: float) -> list[int]:
     """Geometric bucket-width ladder.  ``ratio=2.0`` is the classic
     power-of-two ladder (worst-case occupancy 0.5); ``ratio=1.5`` inserts
     mid widths (worst 0.67, measured combined occupancy 0.73 → ~0.86 on the
-    ML-20M bench) at the cost of more compiled bucket programs.  Above
-    ``_FINE_LADDER_BELOW`` the ladder always steps ×2: wide rows are few,
-    so the padding saved there is small while every extra bucket costs a
-    whole compiled program (seconds of load time on remote backends)."""
+    ML-20M bench — capping the fine ladder at 1024 instead lost it back to
+    0.756, wide-bucket entries are NOT negligible) at the cost of more
+    compiled bucket programs (~2 s load each on remote backends).  Above
+    ``_FINE_LADDER_BELOW`` the ladder steps ×2: rows that wide are so few
+    that padding there is noise."""
     widths = [min_width]
     while widths[-1] < cap:
         r = ratio if widths[-1] < _FINE_LADDER_BELOW else 2.0

@@ -24,24 +24,9 @@ from lkpy_tpu.random import RNGInput, random_generator
 from lkpy_tpu.splitting import TTSplit
 from lkpy_tpu.training import TrainingOptions, UsesTrainer
 from lkpy_tpu.tuning.spec import TuningSpec
+from lkpy_tpu.data.flatten import unflatten_dict as _unflatten
 from lkpy_tpu.tuning.stopping import PlateauStopRule
 
-
-def _unflatten(cfg: dict) -> dict:
-    """Expand dotted keys ("regularization.user") into nested dicts — the
-    reference's search spaces address sub-config fields this way
-    (reference: pipelines/als-implicit-search.toml)."""
-    out: dict = {}
-    for k, v in cfg.items():
-        if isinstance(k, str) and "." in k:
-            node = out
-            parts = k.split(".")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = v
-        else:
-            out[k] = v
-    return out
 
 _log = get_logger(__name__)
 
