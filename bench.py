@@ -288,7 +288,14 @@ def main():
     from types import SimpleNamespace
 
     n_big = 500_000
-    big_items = jnp.asarray(rng.standard_normal((n_big, K)).astype(np.float32))
+    # build the 500k catalog from the TRAINED 27k item table tiled with
+    # small jitter — recall on popularity-skewed trained embeddings is the
+    # number that matters (VERDICT r3 weak #8), random normals are too easy
+    reps_needed = -(-n_big // N_ITEMS)
+    big_items = jnp.asarray(
+        np.tile(i_np, (reps_needed, 1))[:n_big]
+        + rng.normal(0, 0.02 * np.abs(i_np).mean(), size=(n_big, K)).astype(np.float32)
+    )
     n_su = 8192
     hist_len = 100
     su = np.repeat(np.arange(n_su, dtype=np.int64), hist_len)
@@ -306,7 +313,8 @@ def main():
     log(f"product serving qps (500k items, hardware TopK + masking + top-100): {qps_500k:.3e}")
 
     # recall@100 of the hardware-TopK product path vs the exact product path
-    sub = big_users[:512]
+    # (uniform 2048-user sample; VERDICT r3 weak #8)
+    sub = rng.choice(big_users, size=2048, replace=False)
     exact_out = device_recommend(big_scorer, sub, 100, big_matrix, exact=True)
     hit = tot = 0
     for key, il in exact_out.items():

@@ -181,3 +181,68 @@ def test_device_batch_serving_approx(rng):
         len(set(a.ids()) & set(b.ids())) for (_, a), (_, b) in zip(exact.items(), approx.items())
     )
     assert agree / (len(users) * 10) >= 0.95
+
+
+def test_gj_lanes_solver_compiled(rng):
+    """Round-4 blocked batch-on-lanes GJ solver, compiled on the chip: both
+    entry points, k=64 and the k%8 pad path."""
+    from lkpy_tpu.ops.pallas_gj import _interpret, spd_solve_lanes, spd_solve_lanes_chunked
+
+    assert not _interpret()
+    B, k = 640, 64
+    M = rng.standard_normal((B, k, k)).astype(np.float32) * 0.1
+    A = np.einsum("bij,bkj->bik", M, M) + np.eye(k, dtype=np.float32)[None] * 2
+    y = rng.standard_normal((B, k)).astype(np.float32)
+    x = np.asarray(spd_solve_lanes(jnp.asarray(np.transpose(A, (1, 2, 0))), jnp.asarray(y.T)))
+    x_ref = np.linalg.solve(A, y[:, :, None])[:, :, 0]
+    np.testing.assert_allclose(x.T, x_ref, atol=1e-4, rtol=1e-3)
+
+    C, Bc = 2, 256
+    Ac = jnp.asarray(np.transpose(A[: C * Bc].reshape(C, Bc, k, k), (0, 2, 3, 1)))
+    yc = jnp.asarray(np.transpose(y[: C * Bc].reshape(C, Bc, k), (0, 2, 1)))
+    xc = np.asarray(spd_solve_lanes_chunked(Ac, yc))
+    np.testing.assert_allclose(
+        np.transpose(xc, (0, 2, 1)).reshape(C * Bc, k), x_ref[: C * Bc], atol=1e-4, rtol=1e-3
+    )
+
+
+def test_fused_als_bucket_matches_oracle(rng):
+    """The fused gather->Gram->GJ->scatter bucket program (the round-4 ALS
+    epoch path) against per-row LAPACK, on the compiled TPU path."""
+    import scipy.linalg as sla
+
+    from lkpy_tpu.ops import als as als_ops
+
+    n_rows, n_right, k = 300, 500, 64
+    right = rng.standard_normal((n_right, k)).astype(np.float32) * 0.1
+    P = 24
+    cols = rng.integers(0, n_right, size=(1, n_rows, P)).astype(np.int32)
+    conf = rng.uniform(1, 5, size=(1, n_rows, P)).astype(np.float32)
+    mask = np.ones((1, n_rows, P), bool)
+    mask[0, :, P - 4 :] = False  # ragged tails
+    otor = np.asarray(als_ops.implicit_otor(jnp.asarray(right), jnp.float32(0.1)))
+    ch = als_ops.ChunkedRows(
+        jnp.asarray(np.arange(n_rows, dtype=np.int32).reshape(1, n_rows)),
+        jnp.asarray(cols),
+        jnp.asarray(conf),
+        jnp.asarray(mask),
+    )
+    left, dsq = als_ops._fused_bucket_implicit(
+        jnp.zeros((n_rows, k), jnp.float32),
+        jnp.float32(0.0),
+        ch.rows,
+        ch.cols,
+        ch.values,
+        ch.mask,
+        jnp.asarray(right),
+        jnp.asarray(otor),
+    )
+    got = np.asarray(left)
+    for r in [0, 17, 299]:
+        ii = cols[0, r][mask[0, r]]
+        cc = conf[0, r][mask[0, r]]
+        Mr = right[ii]
+        Ar = otor + (Mr.T * cc) @ Mr
+        yr = Mr.T @ (cc + 1.0)
+        exp = sla.cho_solve(sla.cho_factor(Ar), yr)
+        np.testing.assert_allclose(got[r], exp, atol=2e-2 * np.abs(exp).max())
