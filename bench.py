@@ -363,16 +363,23 @@ def main():
     t_ex = time.time()
     # synthetic ratings over the same interactions: per-item quality +
     # per-user shift + noise — MF recovers the signal, RMSE is meaningful
-    q_i = rng.normal(0, 0.6, size=N_ITEMS).astype(np.float32)
+    # per-item quality + per-user shift + PLANTED rank-8 interaction + noise:
+    # the low-rank term is what separates MF from the bias-only baseline
+    q_i = rng.normal(0, 0.5, size=N_ITEMS).astype(np.float32)
     s_u = rng.normal(0, 0.3, size=N_USERS).astype(np.float32)
-    ratings = np.clip(
-        3.5 + q_i[tr_i] + s_u[tr_u] + rng.normal(0, 0.7, size=nnz).astype(np.float32), 0.5, 5.0
-    ).astype(np.float32)
-    test_r = np.clip(
-        3.5 + q_i[test_i] + s_u[test_u] + rng.normal(0, 0.7, size=len(test_u)).astype(np.float32),
-        0.5,
-        5.0,
-    ).astype(np.float32)
+    Up = rng.normal(0, 1, size=(N_USERS, 8)).astype(np.float32)
+    Vp = rng.normal(0, 1, size=(N_ITEMS, 8)).astype(np.float32)
+
+    def _true_r(uu, ii, n):
+        low = np.sum(Up[uu] * Vp[ii], axis=1) * (0.6 / np.sqrt(8))
+        return np.clip(
+            3.5 + q_i[ii] + s_u[uu] + low + rng.normal(0, 0.5, size=n).astype(np.float32),
+            0.5,
+            5.0,
+        ).astype(np.float32)
+
+    ratings = _true_r(tr_u, tr_i, nnz)
+    test_r = _true_r(test_u, test_i, len(test_u))
     # damped bias model on the host (reference bias damping=5), residuals to device
     mu = ratings.mean()
     r0 = ratings - mu

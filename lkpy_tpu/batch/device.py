@@ -340,6 +340,20 @@ def device_recommend(
     # skip shipping the rating values (1/3 of the history transfer)
     needs_vals = use_fold and getattr(scorer, "fold_in_needs_ratings", True)
     hist_field = "rating" if needs_vals else None
+    if not use_fold:
+        # without fold-in the per-chunk work is one matmul+topk; on remote
+        # (tunneled) backends each chunk costs ~2 host round-trips (dispatch
+        # + readback, ~50-80 ms each), which DOMINATED the 500k serving
+        # measurement — use the largest chunk the batch allows (measured
+        # phase split r4: enqueue 0.38 s + readback 0.33 s for 4 chunks of
+        # 1024).  The fold path keeps smaller chunks: length-sorted history
+        # padding is worth more there.
+        chunk = max(chunk, 1 << 14)
+        if method == "approx":
+            chunk = chunk // 256 * 256
+        if mesh is not None:
+            d = mesh.shape["data"]
+            chunk = max(chunk, d) // d * d
 
     lens = csr.row_lengths()
     # process users sorted by history length so each chunk's padded history

@@ -62,11 +62,14 @@ class LightGCNConfig(EmbeddingSizeMixin, BaseModel):
         return np.full(k + 1, self.layer_blend, dtype=np.float32)
 
 
-#: edge count above which the SpMM accumulates in fixed-size edge chunks —
-#: the one-shot segment_sum materializes a (nnz, k) tensor (3.6 GB at
-#: ML-20M/k=64, doubled by the backward pass), which OOMed HBM alongside the
-#: resident training state; the scan form bounds it to (chunk, k)
-_SPMM_CHUNK_MIN = 2_000_000
+#: edge count above which the SpMM accumulates in fixed-size edge chunks.
+#: The one-shot segment_sum materializes a (nnz, k) tensor (3.6 GB at
+#: ML-20M/k=64, more with the backward pass) — that fits HBM as long as the
+#: process isn't holding other multi-GB state, and it is MUCH faster than
+#: the scan form (TPU scatter-add runs at a fixed row rate, so 28 chunked
+#: scatters per SpMM cost minutes per epoch); the chunked fallback exists
+#: for graphs whose edge tensor genuinely cannot fit.
+_SPMM_CHUNK_MIN = 40_000_000
 _SPMM_CHUNK = 524_288
 
 

@@ -37,3 +37,31 @@ def test_lightgcn_gate(ml_ds):
     reference's LightGCN tests use ScorerTests with similar bars)."""
     res = quick_measure_model(LightGCNScorer(embedding_size=32, epochs=10), ml_ds, rng=42, user_frac=0.5)
     assert res.list_summary().loc["NDCG@20", "mean"] >= 0.05
+
+
+def test_chunked_spmm_matches_segment_sum():
+    """The big-graph chunked SpMM fallback must match the one-shot
+    segment_sum propagation exactly (same math, bounded memory)."""
+    import jax.numpy as jnp
+
+    from lkpy_tpu.models import lightgcn as lg
+
+    rng = np.random.default_rng(9)
+    n_u, n_i, k, nnz = 40, 30, 8, 300
+    rows = jnp.asarray(rng.integers(0, n_u, nnz).astype(np.int32))
+    cols = jnp.asarray(rng.integers(0, n_i, nnz).astype(np.int32))
+    vals = jnp.asarray(rng.uniform(0.1, 1.0, nnz).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(n_u, k)).astype(np.float32))
+    i = jnp.asarray(rng.normal(size=(n_i, k)).astype(np.float32))
+    blend = jnp.asarray(np.full(3, 1 / 3, np.float32))
+    conv = (rows, cols, vals, n_u, n_i)
+
+    dense_u, dense_i = lg.propagate(u, i, conv, blend)
+    old_min, old_chunk = lg._SPMM_CHUNK_MIN, lg._SPMM_CHUNK
+    try:
+        lg._SPMM_CHUNK_MIN, lg._SPMM_CHUNK = 1, 64  # force chunking, 5 chunks
+        chunk_u, chunk_i = lg.propagate(u, i, conv, blend)
+    finally:
+        lg._SPMM_CHUNK_MIN, lg._SPMM_CHUNK = old_min, old_chunk
+    np.testing.assert_allclose(np.asarray(chunk_u), np.asarray(dense_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunk_i), np.asarray(dense_i), atol=1e-5)
