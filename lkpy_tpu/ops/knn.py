@@ -197,6 +197,28 @@ def _gram_accum_sparse(
     return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n_rows", "n_cols", "bf16"))
+def _gram_accum_packed(
+    S: jax.Array,
+    buf: jax.Array,  # (nnz_pad, 3) uint16: [rel_row, col, value-as-bf16-bits]
+    n_rows: int,
+    n_cols: int,
+    bf16: bool = True,
+) -> jax.Array:
+    """Packed-transfer form of :func:`_gram_accum_sparse`: one uint16 buffer
+    per chunk (half the bytes, a third of the host→device round-trips —
+    the transfer phase measured 2.9 s of the 7.2 s 27k build).  Only valid
+    for catalogs/chunks under 64k (indices must fit uint16) on the bf16
+    slab path (values are shipped as bf16 bits)."""
+    rel = buf[:, 0].astype(jnp.int32)
+    cols = buf[:, 1].astype(jnp.int32)
+    vals = jax.lax.bitcast_convert_type(buf[:, 2], jnp.bfloat16)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    U = jnp.zeros((n_rows, n_cols), dtype=dt)
+    U = U.at[rel, cols].set(vals.astype(dt), mode="drop")
+    return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+
+
 #: neighbor-table recall floor for the approximate top-k path: measured on a
 #: row sample against exact top-k; below this the build redoes itself exactly
 APPROX_RECALL_TARGET = 0.98
@@ -334,8 +356,13 @@ def similarity_topk(
             run_tiles(fn, A, approx_flag=False)
     else:
         # Gram accumulation over user chunks (ALX-style two-pass); sparse
-        # chunks are densified ON DEVICE so host→device traffic is O(nnz)
-        user_chunk = max(max_dense_bytes // (n_items * 4), 1024)
+        # chunks are densified ON DEVICE so host→device traffic is O(nnz).
+        # Chunks are EQUALIZED (ceil split) — a budget-sized final chunk can
+        # be half empty, and the dense slab matmul pays for its full shape
+        # (measured ~15% of the 27k Gram on the ragged split).
+        budget_chunk = max(max_dense_bytes // (n_items * 4), 1024)
+        n_chunks = max(-(-n_users // budget_chunk), 1)
+        user_chunk = -(-n_users // n_chunks)
         ui_csr = iu_csr.transpose()  # user-major
         chunks = []
         for ulo in range(0, n_users, user_chunk):
@@ -344,26 +371,57 @@ def similarity_topk(
             lens = (ui_csr.rowptr[ulo + 1 : uhi + 1] - ui_csr.rowptr[ulo:uhi]).astype(np.int64)
             rel = np.repeat(np.arange(uhi - ulo, dtype=np.int32), lens)
             chunks.append((rel, ui_csr.colind[s:e], ui_csr.values[s:e] if ui_csr.values is not None else np.ones(e - s, np.float32)))
-        nnz_pad = max(_pad_pow2(max(len(c[0]) for c in chunks)), 8)
+        # pad to a shared width at 1/8-step granularity (pow2 padding wasted
+        # ~17% of the transfer on the ML-20M shape)
+        nnz_max = max(len(c[0]) for c in chunks)
+        step = max(_pad_pow2(nnz_max) // 8, 8)
+        nnz_pad = -(-nnz_max // step) * step
         if bf16 is None:
             bf16 = knn_bf16_default()
-        # ship ALL chunk arrays first (async) so host->device transfers
-        # overlap instead of serializing with each Gram step (remote-tunnel
-        # transfers cost ~1-2 s/chunk otherwise)
-        dev_chunks = []
-        for rel, cc, vv in chunks:
-            pad = nnz_pad - len(rel)
-            rel = np.pad(rel, (0, pad), constant_values=user_chunk)  # OOB row -> dropped
-            cc = np.pad(cc, (0, pad))
-            vv = np.pad(vv, (0, pad))
-            dev_chunks.append((jnp.asarray(rel), jnp.asarray(cc), jnp.asarray(vv.astype(np.float32))))
-        for t in dev_chunks:
-            jax.block_until_ready(t)
+        # pack each chunk into ONE device buffer when indices fit uint16
+        # (catalogs < 64k items): [rel, col, val-as-bf16-bits] — HALF the
+        # bytes and a third of the per-transfer round-trips of three f32/i32
+        # arrays (the transfer phase measured 2.9 s of the 7.2 s build);
+        # transfers are NOT pre-synced — each Gram step starts as soon as
+        # its chunk lands, overlapping the remaining transfers
+        packed = bf16 and n_items < 65_535 and user_chunk < 65_535
+
+        def host_padded():
+            for rel, cc, vv in chunks:
+                pad = nnz_pad - len(rel)
+                yield (
+                    np.pad(rel, (0, pad), constant_values=user_chunk),  # OOB -> dropped
+                    np.pad(cc, (0, pad)),
+                    np.pad(vv, (0, pad)).astype(np.float32),
+                )
+
+        def ship(use_packed: bool):
+            out = []
+            for rel, cc, vv in host_padded():
+                if use_packed:
+                    import ml_dtypes
+
+                    buf = np.empty((nnz_pad, 3), dtype=np.uint16)
+                    buf[:, 0] = rel
+                    buf[:, 1] = cc
+                    buf[:, 2] = vv.astype(ml_dtypes.bfloat16).view(np.uint16)
+                    out.append((jnp.asarray(buf),))
+                else:
+                    out.append((jnp.asarray(rel), jnp.asarray(cc), jnp.asarray(vv)))
+            return out
+
+        dev_chunks = ship(packed)
 
         def build_gram(use_bf16: bool):
+            # a packed (bf16-valued) shipment cannot serve an f32 rebuild —
+            # re-ship the chunks as full f32 arrays in that case
+            cks = dev_chunks if (use_bf16 or not packed) else ship(False)
             S = jnp.zeros((n_items, n_items), dtype=jnp.float32)
-            for rel_j, cc_j, vv_j in dev_chunks:
-                S = _gram_accum_sparse(S, rel_j, cc_j, vv_j, user_chunk, n_items, use_bf16)
+            for t in cks:
+                if len(t) == 1:
+                    S = _gram_accum_packed(S, t[0], user_chunk, n_items, use_bf16)
+                else:
+                    S = _gram_accum_sparse(S, t[0], t[1], t[2], user_chunk, n_items, use_bf16)
                 jax.block_until_ready(S)  # keep the remote queue shallow (donated 2.9GB buffer)
             return S
 

@@ -144,3 +144,36 @@ def test_approx_recall_fallback(monkeypatch):
         table = knn_ops.similarity_topk(normed, 8, 1e-6, approx=True)
     knn_ops._block_topk._clear_cache()
     np.testing.assert_allclose(table.sims, exact_t.sims, atol=1e-6)
+
+
+def test_gram_path_packed_transfer_matches():
+    """The packed uint16 chunk shipment must accumulate the SAME Gram as the
+    plain three-array form given identical (bf16-rounded) values."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from lkpy_tpu.ops.knn import _gram_accum_packed, _gram_accum_sparse
+
+    rng = np.random.default_rng(31)
+    n_rows, n_cols, nnz = 64, 48, 512
+    rel = rng.integers(0, n_rows + 1, nnz).astype(np.int32)  # includes OOB pad rows
+    cols = rng.integers(0, n_cols, nnz).astype(np.int32)
+    # unique (rel, col) pairs so scatter set semantics are deterministic
+    keys = np.unique(rel.astype(np.int64) * n_cols + cols)
+    rel = (keys // n_cols).astype(np.int32)
+    cols = (keys % n_cols).astype(np.int32)
+    vals = rng.uniform(0.05, 1.0, len(keys)).astype(np.float32)
+    vals_bf = vals.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    buf = np.empty((len(keys), 3), dtype=np.uint16)
+    buf[:, 0] = rel
+    buf[:, 1] = cols
+    buf[:, 2] = vals.astype(ml_dtypes.bfloat16).view(np.uint16)
+
+    S0 = jnp.zeros((n_cols, n_cols), jnp.float32)
+    got = np.asarray(_gram_accum_packed(S0, jnp.asarray(buf), n_rows, n_cols, True))
+    S1 = jnp.zeros((n_cols, n_cols), jnp.float32)
+    want = np.asarray(
+        _gram_accum_sparse(S1, jnp.asarray(rel), jnp.asarray(cols), jnp.asarray(vals_bf), n_rows, n_cols, True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
