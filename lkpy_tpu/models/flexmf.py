@@ -270,7 +270,13 @@ class FlexMFTrainerBase(ModelTrainer):
         self.params = self._place(self.init_model(k))
         self.opt = self.make_optimizer()
         self.opt_state = self._place(self.opt.init(self.params))
-        self._step = self._jit_step(self.build_step())
+        raw_step = self.build_step()
+        self._step = self._jit_step(raw_step)
+        from lkpy_tpu.parallel.gradient import jit_sharded_epoch
+
+        self._epoch = jit_sharded_epoch(
+            raw_step, self.mesh, self.params, self.opt_state, self._sharded_rows
+        )
 
     @property
     def _sharded_rows(self) -> set[int]:
@@ -318,8 +324,9 @@ class FlexMFTrainerBase(ModelTrainer):
     def build_step(self):
         raise NotImplementedError
 
-    def epoch_batches(self):
-        """Yield padded (users, items, extra...) batches for one epoch."""
+    def _epoch_perm(self):
+        """The epoch's shuffled (and tail-padded) example order — the exact
+        RNG call sequence of the round-3 per-batch loop."""
         n = len(self._users)
         perm = self.rng.permutation(n)
         bs = min(self.config.batch_size, n)
@@ -327,35 +334,39 @@ class FlexMFTrainerBase(ModelTrainer):
             # batch dim must split evenly over the data axis
             d = self.mesh.shape["data"]
             bs = max(d, bs - bs % d)
-        for lo in range(0, n, bs):
-            idx = perm[lo : lo + bs]
-            if len(idx) < bs:
-                pad = self.rng.choice(n, size=bs - len(idx))
-                idx = np.concatenate([idx, pad])
-            yield idx
+        tail = n % bs
+        if tail:
+            perm = np.concatenate([perm, self.rng.choice(n, size=bs - tail)])
+        return perm, bs
 
-    #: dispatch this many steps before letting the device queue drain — full
-    #: async would queue thousands of programs (remote backends thrash;
-    #: measured r2), but a per-batch ``float(loss)`` readback serializes
-    #: dispatch entirely (VERDICT r3 weak #4)
-    sync_every = 128
+    def epoch_batches(self):
+        """Yield padded (users, items, extra...) batches for one epoch."""
+        perm, bs = self._epoch_perm()
+        for lo in range(0, len(perm), bs):
+            yield perm[lo : lo + bs]
 
     def train_epoch(self) -> float:
-        total = None
-        count = 0
-        for idx in self.epoch_batches():
-            self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, k, *self._place_batch(self.batch_arrays(idx))
-            )
-            # device-side accumulation — no per-batch host sync (the loss
-            # keeps whatever sharding the step emits)
-            total = loss if total is None else total + loss
-            count += 1
-            if count % self.sync_every == 0:
-                jax.block_until_ready(total)
+        """One epoch as ONE device program: a ``lax.scan`` over the steps
+        (per-step dispatch cost ~88 ms on tunneled backends — ~30× the
+        device work; see parallel/gradient.py ``jit_sharded_epoch``)."""
+        perm, bs = self._epoch_perm()
+        n_steps = len(perm) // bs
+        stacked = tuple(
+            self._place_epoch(jnp.asarray(a).reshape(n_steps, bs, *a.shape[1:]))
+            for a in self.batch_arrays(perm)
+        )
+        self.params, self.opt_state, self.key, total = self._epoch(
+            self.params, self.opt_state, self.key, *stacked
+        )
         self.epochs_trained += 1
-        return float(total) / count if count else 0.0  # ONE readback per epoch
+        return float(total) / n_steps if n_steps else 0.0  # ONE readback per epoch
+
+    def _place_epoch(self, arr):
+        if self.mesh is None:
+            return arr
+        from lkpy_tpu.parallel.gradient import epoch_batch_sharding
+
+        return jax.device_put(arr, epoch_batch_sharding(self.mesh))
 
     def batch_arrays(self, idx):
         raise NotImplementedError

@@ -200,9 +200,11 @@ class LightGCNTrainer(ModelTrainer):
         )
         self.opt = optax.adam(self.config.learning_rate)
         self.opt_state = place_tree(self.mesh, self.opt.init(self.params), rows)
-        self._step = jit_sharded_step(
-            self._build_step(), self.mesh, self.params, self.opt_state, 2, rows
-        )
+        raw_step = self._build_step()
+        self._step = jit_sharded_step(raw_step, self.mesh, self.params, self.opt_state, 2, rows)
+        from lkpy_tpu.parallel.gradient import jit_sharded_epoch
+
+        self._epoch = jit_sharded_epoch(raw_step, self.mesh, self.params, self.opt_state, rows)
 
     def _build_step(self):
         cfg = self.config
@@ -246,34 +248,32 @@ class LightGCNTrainer(ModelTrainer):
         return step
 
     def train_epoch(self) -> float:
+        """One epoch as ONE scanned device program (per-step dispatch cost
+        dominated on tunneled backends; see gradient.py jit_sharded_epoch)."""
         n = len(self._users)
         perm = self.rng.permutation(n)
         bs = min(self.config.batch_size, n)
         if self.mesh is not None:
             d = self.mesh.shape["data"]
             bs = max(d, bs - bs % d)
-        total = None
-        count = 0
-        for lo in range(0, n, bs):
-            idx = perm[lo : lo + bs]
-            if len(idx) < bs:
-                idx = np.concatenate([idx, self.rng.choice(n, size=bs - len(idx))])
-            self.key, k = jax.random.split(self.key)
-            batch = (jnp.asarray(self._users[idx]), jnp.asarray(self._items[idx]))
-            if self.mesh is not None:
-                from lkpy_tpu.parallel.gradient import batch_sharding
+        tail = n % bs
+        if tail:
+            perm = np.concatenate([perm, self.rng.choice(n, size=bs - tail)])
+        n_steps = len(perm) // bs
+        stacked = (
+            jnp.asarray(self._users[perm]).reshape(n_steps, bs),
+            jnp.asarray(self._items[perm]).reshape(n_steps, bs),
+        )
+        if self.mesh is not None:
+            from lkpy_tpu.parallel.gradient import epoch_batch_sharding
 
-                sh = batch_sharding(self.mesh)
-                batch = tuple(jax.device_put(a, sh) for a in batch)
-            self.params, self.opt_state, loss = self._step(self.params, self.opt_state, k, *batch)
-            # device-side loss accumulation (VERDICT r3 weak #4): no per-batch
-            # host readback; bound the device queue every 128 dispatches
-            total = loss if total is None else total + loss
-            count += 1
-            if count % 128 == 0:
-                jax.block_until_ready(total)
+            sh = epoch_batch_sharding(self.mesh)
+            stacked = tuple(jax.device_put(a, sh) for a in stacked)
+        self.params, self.opt_state, self.key, total = self._epoch(
+            self.params, self.opt_state, self.key, *stacked
+        )
         self.epochs_trained += 1
-        return float(total) / count if count else 0.0  # ONE readback per epoch
+        return float(total) / n_steps if n_steps else 0.0  # ONE readback per epoch
 
     def finalize(self):
         u_eff, i_eff = propagate(self.params["u_embed"], self.params["i_embed"], self.conv, self.blend)

