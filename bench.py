@@ -272,7 +272,10 @@ def main():
         )
         return qps, out, tm
 
-    serve_users = rng.choice(np.asarray(ds.users.ids), size=4096, replace=False)
+    # 16k-user batches: per-call tunnel round-trips (~0.3-0.5 s of pure sync
+    # service) dominated 4k-user measurements; offline serving batches are
+    # large in practice, so amortize them honestly
+    serve_users = rng.choice(np.asarray(ds.users.ids), size=16384, replace=False)
     # fold-in path: the default product config recomputes user embeddings
     # from history on device (reference als/_common.py:133)
     fold_scorer = ImplicitMFScorer(ImplicitMFScorer.validate_config({"features": K, "epochs": 10}))
@@ -308,7 +311,7 @@ def main():
         item_embeddings=np.asarray(big_items)[np.asarray(big_ds.items.ids, dtype=np.int64)],
         config=SimpleNamespace(user_embeddings="prefer"),
     )
-    big_users = np.arange(4096, dtype=np.int64)
+    big_users = np.arange(8192, dtype=np.int64)  # every synthetic user (see n_su)
     qps_500k, approx_out, tm_500k = product_qps(big_scorer, big_matrix, big_users)
     log(f"product serving qps (500k items, hardware TopK + masking + top-100): {qps_500k:.3e}")
 
