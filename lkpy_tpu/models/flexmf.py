@@ -270,12 +270,10 @@ class FlexMFTrainerBase(ModelTrainer):
         self.params = self._place(self.init_model(k))
         self.opt = self.make_optimizer()
         self.opt_state = self._place(self.opt.init(self.params))
-        raw_step = self.build_step()
-        self._step = self._jit_step(raw_step)
         from lkpy_tpu.parallel.gradient import jit_sharded_epoch
 
         self._epoch = jit_sharded_epoch(
-            raw_step, self.mesh, self.params, self.opt_state, self._sharded_rows
+            self.build_step(), self.mesh, self.params, self.opt_state, self._sharded_rows
         )
 
     @property
@@ -286,24 +284,6 @@ class FlexMFTrainerBase(ModelTrainer):
         from lkpy_tpu.parallel.gradient import place_tree
 
         return place_tree(self.mesh, tree, self._sharded_rows)
-
-    def _jit_step(self, step):
-        from lkpy_tpu.parallel.gradient import jit_sharded_step
-
-        return jit_sharded_step(
-            step, self.mesh, self.params, self.opt_state, self.n_batch_args, self._sharded_rows
-        )
-
-    def _place_batch(self, arrs):
-        if self.mesh is None:
-            return arrs
-        from lkpy_tpu.parallel.gradient import batch_sharding
-
-        bs = batch_sharding(self.mesh)
-        return tuple(jax.device_put(a, bs) for a in arrs)
-
-    #: number of per-batch arrays fed to the step after (params, opt_state, key)
-    n_batch_args = 2
 
     def make_optimizer(self):
         cfg = self.config

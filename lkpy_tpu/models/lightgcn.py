@@ -157,7 +157,7 @@ class LightGCNTrainer(ModelTrainer):
     """Trainer (reference: lightgcn.py:186; BPR/logistic at :312,319)."""
 
     def __init__(self, scorer: LightGCNScorer, data: Dataset, options: TrainingOptions):
-        from lkpy_tpu.parallel.gradient import jit_sharded_step, place_tree, table_rows
+        from lkpy_tpu.parallel.gradient import place_tree, table_rows
 
         self.scorer = scorer
         self.config = scorer.config
@@ -200,11 +200,11 @@ class LightGCNTrainer(ModelTrainer):
         )
         self.opt = optax.adam(self.config.learning_rate)
         self.opt_state = place_tree(self.mesh, self.opt.init(self.params), rows)
-        raw_step = self._build_step()
-        self._step = jit_sharded_step(raw_step, self.mesh, self.params, self.opt_state, 2, rows)
         from lkpy_tpu.parallel.gradient import jit_sharded_epoch
 
-        self._epoch = jit_sharded_epoch(raw_step, self.mesh, self.params, self.opt_state, rows)
+        self._epoch = jit_sharded_epoch(
+            self._build_step(), self.mesh, self.params, self.opt_state, rows
+        )
 
     def _build_step(self):
         cfg = self.config
