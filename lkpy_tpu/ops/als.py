@@ -629,21 +629,22 @@ def warm_epoch_programs(
 def _run_half(left, right, reg, chunks, mode: str, mesh, serialize: bool = False, prog_times=None):
     """One half-epoch as a pipeline of per-bucket programs.
 
-    Deliberately NOT one fused program: per-bucket programs each compile in
-    3–8 s (83 s cold for the full ML-20M epoch) where the fused epoch took
-    841 s — XLA compile passes scale superlinearly in program size — and the
-    separately-dispatched solves also run ~25% faster (42.2M vs 33.8M
-    examples/s measured).  All calls enqueue asynchronously; nothing here
-    blocks on the device, the delta stays a device scalar.
+    Deliberately NOT one fused epoch program: per-bucket programs each
+    compile in seconds where a fused whole-epoch program took 841 s (XLA
+    compile passes scale superlinearly in program size).  All calls enqueue
+    asynchronously; nothing here blocks on the device, the delta stays a
+    device scalar.
 
-    On single-device TPU the solves POOL across buckets: every bucket's
-    normal equations flatten into one stacked batch solved through the
-    shared blocked-Cholesky program (0.70 M solves/s at 32k batch vs the
-    per-bucket Pallas GJ's 0.34 — the item half previously paid the slow
-    path because no single item bucket reached the blocked threshold).
+    On single-device TPU each bucket is ONE end-to-end program —
+    gather→Gram→lanes-GJ solve→scatter (:func:`_fused_bucket_implicit`);
+    CPU and mesh runs use the per-bucket scan+solve path below (the round-3
+    pooled blocked-Cholesky helpers remain for their tests and for
+    :func:`batched_spd_solve` callers).
 
     ``serialize`` blocks after every program call — used by
-    :func:`warm_epoch_programs` so priming walks the EXACT run path.
+    :func:`warm_epoch_programs` so priming walks the EXACT run path;
+    ``prog_times`` collects per-program (label, seconds) for the bench's
+    cold-start table.
     """
     apply_update = _apply_update_fn(mesh)
     otor = implicit_otor(right, reg) if mode == "implicit" else None
