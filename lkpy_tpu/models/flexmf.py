@@ -273,12 +273,26 @@ class FlexMFTrainerBase(ModelTrainer):
         from lkpy_tpu.parallel.gradient import jit_sharded_epoch
 
         self._epoch = jit_sharded_epoch(
-            self.build_step(), self.mesh, self.params, self.opt_state, self._sharded_rows
+            self.build_step(),
+            self.mesh,
+            self.params,
+            self.opt_state,
+            self._sharded_rows,
+            n_const=len(self.step_consts),
         )
 
     @property
     def _sharded_rows(self) -> set[int]:
         return {self.nu_pad, self.ni_pad}
+
+    @property
+    def step_consts(self) -> tuple:
+        """Non-scanned device arrays the step takes after the key (sampling
+        indices, graph structure).  These MUST flow as arguments — a
+        closed-over device array embeds in the program as a constant, and
+        ML-20M-sized index/edge arrays blow the compile payload past the
+        compile service's limits (measured: a 168 MB MLIR rejection)."""
+        return ()
 
     def _place(self, tree):
         from lkpy_tpu.parallel.gradient import place_tree
@@ -336,7 +350,7 @@ class FlexMFTrainerBase(ModelTrainer):
             for a in self.batch_arrays(perm)
         )
         self.params, self.opt_state, self.key, total = self._epoch(
-            self.params, self.opt_state, self.key, *stacked
+            self.params, self.opt_state, self.key, *self.step_consts, *stacked
         )
         self.epochs_trained += 1
         return float(total) / n_steps if n_steps else 0.0  # ONE readback per epoch
@@ -467,6 +481,13 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
             return out
         return self.params
 
+    @property
+    def step_consts(self) -> tuple:
+        out = (self.neg_index.rowptr, self.neg_index.colind, self.neg_index.bloom)
+        if self.conv is not None:
+            out = out + (self.conv[0], self.conv[1], self.conv[2])
+        return out
+
     def build_step(self):
         cfg = self.config
         reg = cfg.regularization
@@ -476,28 +497,30 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
         n_neg = cfg.negative_count
         pos_w = cfg.positive_weight
         strategy = cfg.selected_negative_strategy()
-        neg_index = self.neg_index
-        conv = self.conv
+        has_conv = self.conv is not None
+        nu_pad, ni_pad = self.nu_pad, self.ni_pad
+        idx_rows, idx_cols = self.neg_index.n_rows, self.neg_index.n_cols
+        log2_bits = self.neg_index.log2_bits
         layers = getattr(cfg, "convolution_layers", 0)
         n_items = self.n_items
         C = cfg.warp_candidates
 
-        def scores(params, users, items):
+        def scores(params, conv, users, items):
             if conv is not None:
                 embeds = lightgcn_propagate(params, conv, layers)
             else:
                 embeds = None
             return model_scores(params, users, items, embeds=embeds)
 
-        def loss_fn(params, key, users, pos):
-            pos_pred, pos_norm = scores(params, users, pos)
+        def loss_fn(params, key, neg_index, conv, users, pos):
+            pos_pred, pos_norm = scores(params, conv, users, pos)
 
             if strategy == "misranked":
                 # WARP (reference: _implicit.py:293): sample a candidate
                 # budget, find the first misranked negative; estimated rank
                 # from the attempt count -> harmonic weight.
                 negs = sample_negatives(key, neg_index, users, n=C, weighting="uniform")
-                cand_scores, cand_norms = scores(params, users, negs)
+                cand_scores, cand_norms = scores(params, conv, users, negs)
                 better = cand_scores > pos_pred[:, None]  # (B, C)
                 any_better = jnp.any(better, axis=1)
                 first = jnp.argmax(better, axis=1)  # first misrank position
@@ -519,7 +542,7 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
                 loss = jnp.mean(lp)
             else:
                 negs = sample_negatives(key, neg_index, users, n=n_neg, weighting="popularity" if strategy == "popular" else "uniform")
-                neg_pred, neg_norm = scores(params, users, negs)
+                neg_pred, neg_norm = scores(params, conv, users, negs)
                 if loss_kind == "logistic":
                     pos_lp = -jax.nn.log_sigmoid(pos_pred) * pos_w
                     neg_lp = -jax.nn.log_sigmoid(-neg_pred)
@@ -531,8 +554,17 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
                 loss = loss + reg * 0.5 * (jnp.mean(pos_norm) + jnp.mean(neg_norm))
             return loss
 
-        def step(params, opt_state, key, users, pos):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key, users, pos)
+        def step(params, opt_state, key, *args):
+            # consts first (see step_consts), then the scanned batch
+            nrp, nci, bloom = args[0], args[1], args[2]
+            neg_index = DeviceCSRIndex(nrp, nci, idx_rows, idx_cols, bloom, log2_bits)
+            if has_conv:
+                conv = (args[3], args[4], args[5], nu_pad, ni_pad)
+                users, pos = args[6], args[7]
+            else:
+                conv = None
+                users, pos = args[3], args[4]
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, neg_index, conv, users, pos)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss

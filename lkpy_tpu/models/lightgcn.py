@@ -12,6 +12,7 @@ MF + LightGCN layers, flexmf/_model.py:18).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Literal
 
 import jax
@@ -90,21 +91,122 @@ def _spmm_chunked(vals, src_idx, dst_idx, src, n_dst):
     return acc
 
 
-def propagate(u, i, conv, blend):
-    """Symmetric-normalized LightGCN propagation; blended layer mean."""
-    rows, cols, vals, n_users, n_items = conv
-    if vals.shape[0] >= _SPMM_CHUNK_MIN:
-        spmm = _spmm_chunked
-    else:
+#: densified-adjacency budget: at ML-20M (138k × 27k) the bf16 dense A is
+#: ~7.5 GB — resident once, and both propagate directions become MXU
+#: matmuls (~477 GFlop each ≈ 10 ms) instead of segment sums whose
+#: scatter/gather runs at ~10% of HBM (344 ms per fwd+bwd direction
+#: measured).  0.4% density means 250× wasted FLOPs — and a ~30× win,
+#: because the MXU is ~10,000× the scatter unit.
+_DENSE_ADJ_MAX_BYTES = 8 << 30
+_DENSE_ADJ_MIN_EDGES = 2_000_000
 
-        def spmm(v, s_idx, d_idx, src, n_dst):
-            return jax.ops.segment_sum(v[:, None] * src[s_idx], d_idx, num_segments=n_dst)
 
+@jax.custom_vjp
+def _adj_mm(adj, x):
+    """``adj @ x`` with BOTH the forward and backward expressed in the
+    matmul orientation that keeps the multi-GB ``adj`` in its resident
+    row-major layout.  The autodiff-generated backward (``adjᵀ @ g``)
+    otherwise makes XLA materialize a second 7.5 GB transposed adjacency
+    at ML-20M scale — HBM OOM; ``(gᵀ @ adj)ᵀ`` contracts the same axis with
+    only the small operand transposed."""
+    return jnp.dot(adj, x.astype(adj.dtype), preferred_element_type=jnp.float32)
+
+
+def _adj_mm_fwd(adj, x):
+    return _adj_mm(adj, x), (adj,)
+
+
+def _adj_mm_bwd(res, g):
+    (adj,) = res
+    gx = jnp.dot(g.astype(adj.dtype).T, adj, preferred_element_type=jnp.float32).T
+    # d_adj is never consumed (the adjacency is constant); the zeros are
+    # dead-code-eliminated by XLA
+    return jnp.zeros_like(adj), gx
+
+
+_adj_mm.defvjp(_adj_mm_fwd, _adj_mm_bwd)
+
+
+@jax.custom_vjp
+def _adj_tmm(adj, u):
+    """``adjᵀ @ u`` via ``(uᵀ @ adj)ᵀ`` — see :func:`_adj_mm`."""
+    return jnp.dot(u.astype(adj.dtype).T, adj, preferred_element_type=jnp.float32).T
+
+
+def _adj_tmm_fwd(adj, u):
+    return _adj_tmm(adj, u), (adj,)
+
+
+def _adj_tmm_bwd(res, g):
+    (adj,) = res
+    gu = jnp.dot(adj, g.astype(adj.dtype), preferred_element_type=jnp.float32)
+    return jnp.zeros_like(adj), gu
+
+
+_adj_tmm.defvjp(_adj_tmm_fwd, _adj_tmm_bwd)
+
+
+def propagate_dense(u, i, adj, blend):
+    """LightGCN propagation with a dense bf16 adjacency (tile-aligned dims
+    ≥ the table sizes): each direction is one MXU matmul with f32
+    accumulation, in the adjacency's resident layout fwd AND bwd
+    (:func:`_adj_mm`).  The small embedding operands pad up to the aligned
+    dims and results slice back."""
+    nu, ni = u.shape[0], i.shape[0]
+    nu_al, ni_al = adj.shape
+    u = jnp.pad(u, ((0, nu_al - nu), (0, 0)))
+    i = jnp.pad(i, ((0, ni_al - ni), (0, 0)))
     u_acc = u * blend[0]
     i_acc = i * blend[0]
     for l in range(1, len(blend)):
-        u_new = spmm(vals, cols, rows, i, n_users)
-        i_new = spmm(vals, rows, cols, u, n_items)
+        u_new = _adj_mm(adj, i)
+        i_new = _adj_tmm(adj, u)
+        u, i = u_new, i_new
+        u_acc = u_acc + u * blend[l]
+        i_acc = i_acc + i * blend[l]
+    return u_acc[:nu], i_acc[:ni]
+
+
+def propagate(u, i, conv, blend):
+    """Symmetric-normalized LightGCN propagation; blended layer mean.
+
+    ``conv`` is either the 5-tuple ``(rows, cols, vals, n_users, n_items)``
+    (row-major edges; the item-side reduction then scatters UNSORTED
+    destinations — XLA lowers that to a device SORT of every edge per SpMM,
+    seconds per step at ML-20M scale) or the 8-tuple that additionally
+    carries a column-sorted copy ``(…, rows_c, cols_c, vals_c)`` so BOTH
+    reductions run as sorted segment sums (no sort, HBM-bound).  Trainers
+    build the 8-tuple; the 5-tuple form is kept for small graphs/tests."""
+    if len(conv) == 8:
+        rows, cols, vals, n_users, n_items, rows_c, cols_c, vals_c = conv
+    else:
+        rows, cols, vals, n_users, n_items = conv
+        rows_c = cols_c = vals_c = None
+    if vals.shape[0] >= _SPMM_CHUNK_MIN:
+        chunked = True
+
+        def spmm(v, s_idx, d_idx, src, n_dst, srt):
+            return _spmm_chunked(v, s_idx, d_idx, src, n_dst)
+    else:
+        chunked = False
+
+        def spmm(v, s_idx, d_idx, src, n_dst, srt):
+            return jax.ops.segment_sum(
+                v[:, None] * src[s_idx], d_idx, num_segments=n_dst, indices_are_sorted=srt
+            )
+
+    sorted_form = cols_c is not None and not chunked
+    u_acc = u * blend[0]
+    i_acc = i * blend[0]
+    for l in range(1, len(blend)):
+        # the 8-tuple form guarantees row-major base edges (sorted user
+        # destinations) and a column-sorted copy for the item direction;
+        # the 5-tuple form makes no ordering promises
+        u_new = spmm(vals, cols, rows, i, n_users, sorted_form)
+        if sorted_form:
+            i_new = spmm(vals_c, rows_c, cols_c, u, n_items, True)
+        else:
+            i_new = spmm(vals, rows, cols, u, n_items, False)
         u, i = u_new, i_new
         u_acc = u_acc + u * blend[l]
         i_acc = i_acc + i * blend[l]
@@ -182,13 +284,44 @@ class LightGCNTrainer(ModelTrainer):
         deg_u = np.maximum(np.diff(csr.rowptr), 1).astype(np.float32)
         deg_i = np.maximum(np.bincount(coo.col, minlength=self.n_items), 1).astype(np.float32)
         vals = (1.0 / np.sqrt(deg_u[coo.row] * deg_i[coo.col])).astype(np.float32)
+        # row-major base edges + a column-sorted copy: both SpMM directions
+        # then run as SORTED segment sums — the unsorted scatter lowers to a
+        # device sort of all 14M ML-20M edges per reduction (seconds/step)
+        order_c = np.argsort(coo.col, kind="stable")
         self.conv = (
             jnp.asarray(coo.row),
             jnp.asarray(coo.col),
             jnp.asarray(vals),
             self.nu_pad,
             self.ni_pad,
+            jnp.asarray(coo.row[order_c]),
+            jnp.asarray(coo.col[order_c]),
+            jnp.asarray(vals[order_c]),
         )
+        # big graphs propagate through a dense bf16 adjacency on the MXU
+        # (see _DENSE_ADJ_MAX_BYTES); small ones keep the segment-sum form.
+        # The adjacency dims are TILE-ALIGNED (16 sublanes × 128 lanes for
+        # bf16) — an unaligned multi-GB matmul operand forces a padded
+        # relayout copy inside the program, which OOMed HBM.
+        self._adj = None
+        if (
+            len(coo.row) >= _DENSE_ADJ_MIN_EDGES
+            and self.nu_pad * self.ni_pad * 2 <= _DENSE_ADJ_MAX_BYTES
+        ):
+            nu_al = -(-self.nu_pad // 16) * 16
+            ni_al = -(-self.ni_pad // 128) * 128
+
+            # the build MUST be jit-compiled: the eager scatter returns a
+            # buffer in a non-canonical layout, and every later matmul then
+            # relayouts the multi-GB operand (HBM OOM); a compiled program's
+            # output uses the canonical layout
+            @partial(jax.jit, static_argnames=("nu", "ni"))
+            def _build_adj(rows, cols, vals, nu, ni):
+                return jnp.zeros((nu, ni), jnp.bfloat16).at[rows, cols].set(
+                    vals.astype(jnp.bfloat16)
+                )
+
+            self._adj = _build_adj(self.conv[0], self.conv[1], self.conv[2], nu_al, ni_al)
         self.blend = jnp.asarray(self.config.blend_weights())
 
         self.key, k = jax.random.split(self.key)
@@ -203,20 +336,40 @@ class LightGCNTrainer(ModelTrainer):
         from lkpy_tpu.parallel.gradient import jit_sharded_epoch
 
         self._epoch = jit_sharded_epoch(
-            self._build_step(), self.mesh, self.params, self.opt_state, rows
+            self._build_step(), self.mesh, self.params, self.opt_state, rows, n_const=len(self._epoch_consts)
         )
 
     def _build_step(self):
+        """Build the train step.  The edge arrays and sampling index are
+        ARGUMENTS (threaded through jit_sharded_epoch's consts), not
+        closures — closed-over device arrays embed in the program as
+        constants, and ML-20M's 14M-edge arrays made a 168 MB program the
+        compile service rejects."""
         cfg = self.config
-        conv = self.conv
         blend = self.blend
         reg = cfg.regularization
         loss_kind = cfg.loss
-        neg_index = self.neg_index
         opt = self.opt
+        nu_pad, ni_pad = self.nu_pad, self.ni_pad
+        idx_rows, idx_cols = self.neg_index.n_rows, self.neg_index.n_cols
+        log2_bits = self.neg_index.log2_bits
 
-        def loss_fn(params, key, users, pos):
-            u_eff, i_eff = propagate(params["u_embed"], params["i_embed"], conv, blend)
+        use_dense = self._adj is not None
+
+        def loss_fn(params, key, *args):
+            if use_dense:
+                adj, neg_rowptr, neg_colind, neg_bloom, users, pos = args
+            else:
+                (rows, cols, vals, rows_c, cols_c, vals_c,
+                 neg_rowptr, neg_colind, neg_bloom, users, pos) = args
+            neg_index = DeviceCSRIndex(
+                neg_rowptr, neg_colind, idx_rows, idx_cols, neg_bloom, log2_bits
+            )
+            if use_dense:
+                u_eff, i_eff = propagate_dense(params["u_embed"], params["i_embed"], adj, blend)
+            else:
+                conv = (rows, cols, vals, nu_pad, ni_pad, rows_c, cols_c, vals_c)
+                u_eff, i_eff = propagate(params["u_embed"], params["i_embed"], conv, blend)
             negs = sample_negatives(key, neg_index, users, n=1)[:, 0]
             ue = u_eff[users]
             pe = i_eff[pos]
@@ -239,17 +392,121 @@ class LightGCNTrainer(ModelTrainer):
                 loss = loss + reg * 0.5 * n0
             return loss
 
-        def step(params, opt_state, key, users, pos):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key, users, pos)
+        def step(params, opt_state, key, *args):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, *args)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         return step
 
+    def _build_main_vag(self):
+        """Loss+grad WITHOUT the ego-regularization term — the big-graph
+        split-step path (see train_epoch): fusing the raw-table reg gathers
+        with the full-graph propagate backward crashes the TPU compiler."""
+        cfg = self.config
+        blend = self.blend
+        loss_kind = cfg.loss
+        nu_pad, ni_pad = self.nu_pad, self.ni_pad
+        idx_rows, idx_cols = self.neg_index.n_rows, self.neg_index.n_cols
+        log2_bits = self.neg_index.log2_bits
+
+        use_dense = self._adj is not None
+
+        def main_loss(params, key, *args):
+            if use_dense:
+                adj, neg_rowptr, neg_colind, neg_bloom, users, pos = args
+            else:
+                (rows, cols, vals, rows_c, cols_c, vals_c,
+                 neg_rowptr, neg_colind, neg_bloom, users, pos) = args
+            neg_index = DeviceCSRIndex(
+                neg_rowptr, neg_colind, idx_rows, idx_cols, neg_bloom, log2_bits
+            )
+            if use_dense:
+                u_eff, i_eff = propagate_dense(params["u_embed"], params["i_embed"], adj, blend)
+            else:
+                conv = (rows, cols, vals, nu_pad, ni_pad, rows_c, cols_c, vals_c)
+                u_eff, i_eff = propagate(params["u_embed"], params["i_embed"], conv, blend)
+            negs = sample_negatives(key, neg_index, users, n=1)[:, 0]
+            ue = u_eff[users]
+            pe = i_eff[pos]
+            ne = i_eff[negs]
+            pos_s = jnp.sum(ue * pe, axis=-1)
+            neg_s = jnp.sum(ue * ne, axis=-1)
+            if loss_kind == "pairwise":
+                loss = -jnp.mean(jax.nn.log_sigmoid(pos_s - neg_s))
+            else:
+                loss = -0.5 * (
+                    jnp.mean(jax.nn.log_sigmoid(pos_s)) + jnp.mean(jax.nn.log_sigmoid(-neg_s))
+                )
+            return loss, negs
+
+        def vag(params, key, *args):
+            (loss, negs), grads = jax.value_and_grad(main_loss, has_aux=True)(
+                params, key, *args
+            )
+            return loss, negs, grads
+
+        return vag
+
+    def _build_apply(self):
+        """Ego-regularization gradient + Adam apply (the split-step's second
+        program; contains no propagate, so it compiles at any scale)."""
+        reg = self.config.regularization
+        opt = self.opt
+
+        def reg_loss(params, users, pos, negs):
+            n0 = (
+                jnp.sum(params["u_embed"][users] ** 2)
+                + jnp.sum(params["i_embed"][pos] ** 2)
+                + jnp.sum(params["i_embed"][negs] ** 2)
+            ) / users.shape[0]
+            return reg * 0.5 * n0
+
+        def apply(params, opt_state, grads, users, pos, negs):
+            if reg:
+                l2, g2 = jax.value_and_grad(reg_loss)(params, users, pos, negs)
+                grads = jax.tree.map(jnp.add, grads, g2)
+            else:
+                l2 = jnp.float32(0.0)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, l2
+
+        return apply
+
+    @property
+    def _epoch_consts(self):
+        """Non-scanned step arguments: edge structure + sampling index."""
+        if self._adj is not None:
+            return (
+                self._adj,
+                self.neg_index.rowptr,
+                self.neg_index.colind,
+                self.neg_index.bloom,
+            )
+        return (
+            self.conv[0],
+            self.conv[1],
+            self.conv[2],
+            self.conv[5],
+            self.conv[6],
+            self.conv[7],
+            self.neg_index.rowptr,
+            self.neg_index.colind,
+            self.neg_index.bloom,
+        )
+
+    #: edge count above which the epoch falls back to per-step dispatch —
+    #: the TPU AOT compiler rejects a lax.scan whose body carries a
+    #: multi-GB full-graph propagate (compile-helper crash at ML-20M even
+    #: with the edge arrays as arguments), and at that scale the propagate
+    #: compute (~40 ms/step) hides the per-step dispatch latency anyway
+    _SCAN_MAX_EDGES = 4_000_000
+
     def train_epoch(self) -> float:
-        """One epoch as ONE scanned device program (per-step dispatch cost
-        dominated on tunneled backends; see gradient.py jit_sharded_epoch)."""
+        """One epoch as ONE scanned device program where the graph allows
+        (see gradient.py jit_sharded_epoch), per-step dispatch otherwise."""
         n = len(self._users)
         perm = self.rng.permutation(n)
         bs = min(self.config.batch_size, n)
@@ -260,23 +517,52 @@ class LightGCNTrainer(ModelTrainer):
         if tail:
             perm = np.concatenate([perm, self.rng.choice(n, size=bs - tail)])
         n_steps = len(perm) // bs
-        stacked = (
-            jnp.asarray(self._users[perm]).reshape(n_steps, bs),
-            jnp.asarray(self._items[perm]).reshape(n_steps, bs),
-        )
+        users = jnp.asarray(self._users[perm]).reshape(n_steps, bs)
+        items = jnp.asarray(self._items[perm]).reshape(n_steps, bs)
         if self.mesh is not None:
             from lkpy_tpu.parallel.gradient import epoch_batch_sharding
 
             sh = epoch_batch_sharding(self.mesh)
-            stacked = tuple(jax.device_put(a, sh) for a in stacked)
-        self.params, self.opt_state, self.key, total = self._epoch(
-            self.params, self.opt_state, self.key, *stacked
-        )
+            users, items = (jax.device_put(a, sh) for a in (users, items))
+        if self._adj is not None or len(self._users) <= self._SCAN_MAX_EDGES:
+            self.params, self.opt_state, self.key, total = self._epoch(
+                self.params, self.opt_state, self.key, *self._epoch_consts, users, items
+            )
+        else:
+            # TWO programs per step: the main loss+grad (propagate inside)
+            # and the ego-regularization + Adam apply.  Fusing the raw-table
+            # reg gathers into the same program as the full-graph propagate
+            # backward crashes the TPU compiler at ML-20M scale (bisected:
+            # the i_embed reg gather specifically; optimization_barrier
+            # does not help) — splitting also keeps each program small.
+            if not hasattr(self, "_vag"):
+                self._vag = jax.jit(self._build_main_vag())
+                self._apply = jax.jit(self._build_apply(), donate_argnums=(0, 1))
+            total = None
+            for s in range(n_steps):
+                self.key, k = jax.random.split(self.key)
+                l1, negs, grads = self._vag(
+                    self.params, k, *self._epoch_consts, users[s], items[s]
+                )
+                self.params, self.opt_state, l2 = self._apply(
+                    self.params, self.opt_state, grads, users[s], items[s], negs
+                )
+                loss = l1 + l2
+                total = loss if total is None else total + loss
+                if (s + 1) % 64 == 0:
+                    jax.block_until_ready(total)
         self.epochs_trained += 1
         return float(total) / n_steps if n_steps else 0.0  # ONE readback per epoch
 
     def finalize(self):
-        u_eff, i_eff = propagate(self.params["u_embed"], self.params["i_embed"], self.conv, self.blend)
+        if self._adj is not None:
+            u_eff, i_eff = propagate_dense(
+                self.params["u_embed"], self.params["i_embed"], self._adj, self.blend
+            )
+        else:
+            u_eff, i_eff = propagate(
+                self.params["u_embed"], self.params["i_embed"], self.conv, self.blend
+            )
         self.scorer.user_embeddings = np.asarray(u_eff)[: self.n_users]
         self.scorer.item_embeddings = np.asarray(i_eff)[: self.n_items]
 

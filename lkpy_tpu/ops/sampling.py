@@ -23,21 +23,67 @@ __all__ = ["csr_contains", "sample_negatives", "DeviceCSRIndex"]
 from typing import NamedTuple
 
 
+#: multiplicative-mix constants for the interaction Bloom filter (Knuth /
+#: xxhash primes); the SAME arithmetic runs in numpy uint32 (host build)
+#: and jnp uint32 (device probe) — both wrap mod 2³²
+_BLOOM_P1, _BLOOM_P2, _BLOOM_P3 = 2654435761, 2246822519, 3266489917
+
+
+def _bloom_bit_positions(rows, cols, log2_bits: int, xp):
+    """Two hash bit-positions per (row, col) pair; ``xp`` = np or jnp."""
+    r = rows.astype(xp.uint32)
+    c = cols.astype(xp.uint32)
+    h1 = r * xp.uint32(_BLOOM_P1) ^ c * xp.uint32(_BLOOM_P2)
+    h1 = (h1 ^ (h1 >> xp.uint32(15))) * xp.uint32(_BLOOM_P3)
+    h2 = r * xp.uint32(_BLOOM_P2) ^ c * xp.uint32(_BLOOM_P3)
+    h2 = (h2 ^ (h2 >> xp.uint32(13))) * xp.uint32(_BLOOM_P1)
+    mask = xp.uint32((1 << log2_bits) - 1)
+    return h1 & mask, h2 & mask
+
+
+def _build_bloom(rowptr: np.ndarray, colind: np.ndarray, n_rows: int) -> tuple[np.ndarray, int]:
+    """Host-side Bloom build over all (row, col) interactions.
+
+    Sized at ≥16 bits per interaction (2 hashes → ~1.5% false-positive
+    rate).  False positives only WASTE a sampling attempt; false negatives
+    are impossible, so accepted negatives are still exactly verified."""
+    nnz = len(colind)
+    log2_bits = max(int(np.ceil(np.log2(max(nnz * 16, 1024)))), 10)
+    words = np.zeros((1 << log2_bits) >> 5, dtype=np.uint32)
+    rows = np.repeat(
+        np.arange(n_rows, dtype=np.uint32), np.diff(rowptr).astype(np.int64)
+    )
+    for h in _bloom_bit_positions(rows, colind.astype(np.uint32), log2_bits, np):
+        np.bitwise_or.at(words, h >> 5, np.uint32(1) << (h & np.uint32(31)))
+    return words, log2_bits
+
+
 class DeviceCSRIndex(NamedTuple):
-    """Device CSR structure for membership tests (column-sorted rows)."""
+    """Device CSR structure for membership tests (column-sorted rows),
+    plus an optional Bloom filter over the interactions: the exact binary
+    search costs ~log2(n_cols) serial latency-bound gathers per probe
+    (measured: it WAS the FlexMF train step at ML-20M scale), the Bloom
+    probe costs two."""
 
     rowptr: jax.Array  # (n_rows+1,) int32
     colind: jax.Array  # (nnz,) int32
     n_rows: int
     n_cols: int
+    bloom: jax.Array | None = None  # (2^log2_bits / 32,) uint32
+    log2_bits: int = 0
 
     @classmethod
-    def from_csr(cls, csr) -> "DeviceCSRIndex":
+    def from_csr(cls, csr, bloom: bool = True) -> "DeviceCSRIndex":
+        words = log2_bits = None
+        if bloom:
+            words, log2_bits = _build_bloom(csr.rowptr, csr.colind, csr.nrows)
         return cls(
             jnp.asarray(csr.rowptr, dtype=jnp.int32),
             jnp.asarray(csr.colind, dtype=jnp.int32),
             csr.nrows,
             csr.ncols,
+            None if words is None else jnp.asarray(words),
+            log2_bits or 0,
         )
 
 
@@ -82,29 +128,64 @@ def _sample_negatives(
     weighted: bool,
 ):
     B = rows.shape[0]
-    rows_b = jnp.broadcast_to(rows[:, None], (B, n))
+    A = max_attempts
     nnz = colind.shape[0]
+    # draw EVERY attempt up front and verify in ONE vectorized pass: the
+    # former redraw fori_loop ran max_attempts × n_iter sequential
+    # latency-bound gathers (measured 82 ms/step at B=32768 on v5e — it WAS
+    # the FlexMF train step); this form runs the membership gathers over
+    # B·n·A lanes at once, picking each slot's first verified candidate
+    if weighted:
+        # popularity weighting: draw a random interaction's item
+        pos = jax.random.randint(key, (B, n, A), 0, nnz)
+        cands = colind[pos]
+    else:
+        cands = jax.random.randint(key, (B, n, A), 0, n_cols, dtype=jnp.int32)
+    rows_b = jnp.broadcast_to(rows[:, None, None], (B, n, A))
+    bad = _csr_contains(rowptr, colind, rows_b, cands, n_iter)  # (B, n, A)
+    first_good = jnp.argmax(~bad, axis=2)
+    any_good = jnp.any(~bad, axis=2)
+    # all attempts positive: keep the last draw (bounded best-effort, as the
+    # reference's attempt-capped rejection loop, sampling.rs:38-50)
+    pick = jnp.where(any_good, first_good, A - 1)
+    return jnp.take_along_axis(cands, pick[:, :, None], axis=2)[:, :, 0]
 
-    def draw(k):
-        if weighted:
-            # popularity weighting: draw a random interaction's item
-            pos = jax.random.randint(k, (B, n), 0, nnz)
-            return colind[pos]
-        return jax.random.randint(k, (B, n), 0, n_cols, dtype=jnp.int32)
 
-    key, k0 = jax.random.split(key)
-    out = draw(k0)
-
-    def body(i, carry):
-        out, key = carry
-        bad = _csr_contains(rowptr, colind, rows_b, out, n_iter)
-        key, k = jax.random.split(key)
-        redraw = draw(k)
-        out = jnp.where(bad, redraw, out)
-        return out, key
-
-    out, _ = jax.lax.fori_loop(0, max_attempts, body, (out, key))
-    return out
+@partial(jax.jit, static_argnames=("n", "n_cols", "log2_bits", "max_attempts", "weighted"))
+def _sample_negatives_bloom(
+    key,
+    colind,
+    bloom,
+    rows,
+    n: int,
+    n_cols: int,
+    log2_bits: int,
+    max_attempts: int,
+    weighted: bool,
+):
+    """Bloom-verified variant: two latency-bound gathers for the whole
+    membership pass instead of ~log2(n_cols).  The filter has no false
+    negatives, so every accepted candidate is a TRUE negative; its ~1.5%
+    false positives only waste attempts (and exclude a pseudo-random ~1.5%
+    of pairs from ever being sampled — noise for SGD negatives)."""
+    B = rows.shape[0]
+    A = max_attempts
+    nnz = colind.shape[0]
+    if weighted:
+        pos = jax.random.randint(key, (B, n, A), 0, nnz)
+        cands = colind[pos]
+    else:
+        cands = jax.random.randint(key, (B, n, A), 0, n_cols, dtype=jnp.int32)
+    rows_b = jnp.broadcast_to(rows[:, None, None], (B, n, A))
+    h1, h2 = _bloom_bit_positions(rows_b, cands, log2_bits, jnp)
+    one = jnp.uint32(1)
+    hit1 = (bloom[(h1 >> 5).astype(jnp.int32)] >> (h1 & jnp.uint32(31))) & one
+    hit2 = (bloom[(h2 >> 5).astype(jnp.int32)] >> (h2 & jnp.uint32(31))) & one
+    bad = (hit1 & hit2) == one
+    first_good = jnp.argmax(~bad, axis=2)
+    any_good = jnp.any(~bad, axis=2)
+    pick = jnp.where(any_good, first_good, A - 1)
+    return jnp.take_along_axis(cands, pick[:, :, None], axis=2)[:, :, 0]
 
 
 def sample_negatives(
@@ -114,9 +195,28 @@ def sample_negatives(
     *,
     n: int = 1,
     weighting: str = "uniform",
-    max_attempts: int = 20,
+    max_attempts: int = 8,
 ) -> jax.Array:
-    """Sample verified negative columns for the given rows (jit-compatible)."""
+    """Sample verified negative columns for the given rows (jit-compatible).
+
+    All ``max_attempts`` candidates are drawn and verified at once (one
+    vectorized membership pass); each output slot takes its first verified
+    candidate.  8 attempts puts the per-slot failure odds below 1e-9 at
+    typical interaction densities (p_bad ≈ row_nnz/n_cols).  Indexes built
+    with a Bloom filter (the default) verify with two gathers; otherwise an
+    exact ~log2(n_cols)-gather binary search."""
+    if index.bloom is not None:
+        return _sample_negatives_bloom(
+            key,
+            index.colind,
+            index.bloom,
+            rows,
+            n,
+            index.n_cols,
+            index.log2_bits,
+            max_attempts,
+            weighting == "popularity",
+        )
     n_iter = int(np.ceil(np.log2(max(index.n_cols, 2)))) + 1
     return _sample_negatives(
         key,

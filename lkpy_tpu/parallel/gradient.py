@@ -65,27 +65,38 @@ def epoch_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "data"))
 
 
-def jit_sharded_epoch(step, mesh: Mesh | None, params, opt_state, sharded_rows: set[int]):
+def jit_sharded_epoch(
+    step, mesh: Mesh | None, params, opt_state, sharded_rows: set[int], n_const: int = 0
+):
     """jit a whole-epoch ``lax.scan`` over ``step``.
 
     Per-step dispatch dominated gradient-family training on remote
     (tunneled) backends — ~1,700 host round-trips per ML-20M epoch measured
-    ~88 ms/step against ~3 ms of device work (VERDICT r4 follow-on to weak
-    #4).  The epoch becomes ONE program: batches are stacked device arrays
+    ~88 ms/step against the device work (VERDICT r4 follow-on to weak #4).
+    The epoch becomes ONE program: batches are stacked device arrays
     scanned on the leading axis, the PRNG key is split *inside* the body
     (bit-identical key sequence to the old per-batch Python loop), and the
     mean loss is the only scalar that ever leaves the device.
 
-    Returns ``epoch(params, opt_state, key, *stacked) ->
+    ``n_const``: number of leading NON-scanned arrays the step takes after
+    the key (graph structure, negative-sampling indices, …).  These MUST be
+    arguments, not Python closures — closed-over device arrays embed in the
+    program as constants, and the ML-20M LightGCN edge arrays produced a
+    168 MB MLIR payload that the compile service rejects.
+
+    Returns ``epoch(params, opt_state, key, *consts, *stacked) ->
     (params, opt_state, next_key, total_loss)`` with params/opt donated;
     ``next_key`` continues the exact sequence for the following epoch.
     """
 
-    def epoch(params, opt_state, key, *stacked):
+    def epoch(params, opt_state, key, *args):
+        consts = args[:n_const]
+        stacked = args[n_const:]
+
         def body(carry, xs):
             params, opt_state, key, tot = carry
             key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, k, *xs)
+            params, opt_state, loss = step(params, opt_state, k, *consts, *xs)
             return (params, opt_state, key, tot + loss), None
 
         (params, opt_state, key, tot), _ = jax.lax.scan(
