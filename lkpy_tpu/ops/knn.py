@@ -422,10 +422,11 @@ def similarity_topk(
                     dispatched += 1
                 # pack+ship the NEXT chunk while the device runs this Gram
                 nxt = ship_one(c, use_packed) if c is not None else None
-                # bound the donated-buffer queue at depth 2 (full-async
-                # queues of donated multi-GB programs thrash remote
-                # backends; every-chunk syncs cost a round-trip each)
-                if pending is not None and dispatched % 2 == 0:
+                # sync EVERY chunk: even a depth-2 queue of donated multi-GB
+                # Gram programs thrashed the remote backend when the process
+                # held other large buffers (19s builds vs 5s measured
+                # isolated; same pathology as the round-2 async-queue note)
+                if pending is not None:
                     jax.block_until_ready(S)
                 pending = nxt
             jax.block_until_ready(S)
