@@ -243,7 +243,7 @@ def device_recommend(
     n: int,
     matrix: MatrixRelationshipSet,
     *,
-    chunk: int = 4096,
+    chunk: int = 1024,
     key_field: str = "user_id",
     mesh=None,
     exact: bool | None = None,
@@ -356,10 +356,12 @@ def device_recommend(
             chunk = max(chunk, d) // d * d
 
     lens = csr.row_lengths()
-    # fold-path chunk sweet spot (measured r4, 16k ML-20M users over the
-    # tunnel): 1024→3.5k qps, 4096→8.6k, 16384→3.7k — per-chunk round-trips
-    # amortize up to ~4k users, then mixed history lengths blow the padded
-    # (B, H) width back up.
+    # fold-path chunk size: isolated r4 probes measured 1024→3.5k qps,
+    # 4096→8.6k, 16384→3.7k (round-trips amortize, then mixed history
+    # lengths blow the padded (B, H) width back up) — but full-bench runs
+    # measured the OPPOSITE ordering (5.2k at 1024 vs 1.7k at 4096); the
+    # tunnel's transfer service is too non-stationary to tune against, so
+    # the default stays at the full-run winner.
     # process users sorted by history length so each chunk's padded history
     # width H matches its members instead of the global maximum — the padded
     # (B, H) history transfer dominated serving cost on remote devices
