@@ -29,10 +29,14 @@ def tune(spec_file, output, test_frac, seed, data):
     if spec_path.suffix == ".toml":
         # pipelines/*-search.toml spec-file shape (reference:
         # pipelines/als-implicit-search.toml) — [search] + [space.scorer]
-        from lkpy_tpu.pipeline.specfile import is_search_file, load_search_file
+        import tomllib
 
-        if is_search_file(spec_path):
-            spec = load_search_file(spec_path)
+        from lkpy_tpu.pipeline.specfile import load_search_file
+
+        with open(spec_path, "rb") as f:
+            spec_data = tomllib.load(f)
+        if "search" in spec_data or "space" in spec_data:
+            spec = load_search_file(spec_path, data=spec_data)
         else:
             spec = load_model_data(spec_path, TuningSpec)
     else:

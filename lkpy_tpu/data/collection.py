@@ -126,6 +126,11 @@ class ItemListCollection:
         this to materialize lazily."""
         return self._lists[i]
 
+    def _empty_keys(self) -> list[tuple]:
+        """Keys of the empty lists (array-backed subclasses answer this
+        from their length vector without materializing lists)."""
+        return [k for k, il in self.items() if len(il) == 0]
+
     def lookup(self, *key: Any, **kwkey: Any) -> ItemList | None:
         if kwkey:
             key = tuple(kwkey[f] for f in self._fields)
@@ -198,7 +203,7 @@ class ItemListCollection:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        empties = [k for k, il in self.items() if len(il) == 0]
+        empties = self._empty_keys()
         if empties:
             marks = pd.DataFrame(empties, columns=list(self._fields))
             marks["item_id"] = None
@@ -280,6 +285,9 @@ class ArrayTopNILC(ItemListCollection):
 
     def total_items(self) -> int:
         return int(self._lengths.sum())
+
+    def _empty_keys(self) -> list[tuple]:
+        return [self._keys[i] for i in np.nonzero(self._lengths == 0)[0]]
 
     def to_df(self) -> pd.DataFrame:
         if not len(self._keys):

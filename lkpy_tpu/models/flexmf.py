@@ -151,21 +151,17 @@ def model_scores(params, users, items, *, embeds=None):
     return score, norm
 
 
-def lightgcn_propagate(params, conv, layers: int):
+def lightgcn_propagate(params, conv, layers: int, *, adj=None):
     """LightGCN propagation: mean of K+1 normalized-adjacency convolutions
-    (reference: _model.py layers / graphs/lightgcn.py)."""
-    rows, cols, vals, n_users, n_items = conv
-    u = params["u_embed"]
-    i = params["i_embed"]
-    u_acc, i_acc = u, i
-    for _ in range(layers):
-        u_new = jax.ops.segment_sum(vals[:, None] * i[cols], rows, num_segments=n_users)
-        i_new = jax.ops.segment_sum(vals[:, None] * u[rows], cols, num_segments=n_items)
-        u, i = u_new, i_new
-        u_acc = u_acc + u
-        i_acc = i_acc + i
-    scale = 1.0 / (layers + 1)
-    return u_acc * scale, i_acc * scale
+    (reference: _model.py layers / graphs/lightgcn.py).  Delegates to the
+    shared graph ops: the dense bf16 adjacency when provided (the big-graph
+    MXU path), edge segment-sums otherwise."""
+    from lkpy_tpu.ops.graph import propagate, propagate_dense
+
+    blend = jnp.full(layers + 1, 1.0 / (layers + 1), dtype=jnp.float32)
+    if adj is not None:
+        return propagate_dense(params["u_embed"], params["i_embed"], adj, blend)
+    return propagate(params["u_embed"], params["i_embed"], conv, blend)
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +390,6 @@ class FlexMFTrainerBase(ModelTrainer):
 
 
 class FlexMFExplicitTrainer(FlexMFTrainerBase):
-    n_batch_args = 3
 
     def prepare_data(self, data: Dataset):
         csr = data.interaction_matrix().csr("rating")
@@ -446,19 +441,35 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
         self._items = coo.col.astype(np.int32)
         self.neg_index = DeviceCSRIndex.from_csr(csr)
         self.conv = None
+        self._adj = None
         if getattr(self.config, "convolution_layers", 0):
+            from lkpy_tpu.ops.graph import (
+                build_dense_adjacency,
+                dense_adjacency_eligible,
+                sorted_conv,
+            )
+
             deg_u = np.maximum(np.diff(csr.rowptr), 1).astype(np.float32)
             deg_i = np.maximum(np.bincount(coo.col, minlength=self.n_items), 1).astype(np.float32)
-            vals = 1.0 / np.sqrt(deg_u[coo.row] * deg_i[coo.col])
+            vals = (1.0 / np.sqrt(deg_u[coo.row] * deg_i[coo.col])).astype(np.float32)
             # segment counts use the mesh-padded table sizes so the
-            # propagated embeddings keep the (padded) table shape
-            self.conv = (
-                jnp.asarray(coo.row),
-                jnp.asarray(coo.col),
-                jnp.asarray(vals.astype(np.float32)),
-                self.nu_pad,
-                self.ni_pad,
-            )
+            # propagated embeddings keep the (padded) table shape; the same
+            # big-graph discipline as LightGCN applies (sorted edge copies,
+            # dense bf16 adjacency on the MXU where it fits — a full-graph
+            # propagate in the scanned step otherwise scatter-sorts every
+            # edge per step and breaks the compiler at ML-20M scale)
+            self.conv = sorted_conv(coo.row, coo.col, vals, self.nu_pad, self.ni_pad)
+            if dense_adjacency_eligible(len(coo.row), self.nu_pad, self.ni_pad):
+                self._adj = build_dense_adjacency(
+                    self.conv[0], self.conv[1], self.conv[2], self.nu_pad, self.ni_pad
+                )
+            elif len(coo.row) >= 4_000_000:
+                _log.warning(
+                    "FlexMF convolution on a large sparse graph without the "
+                    "dense-adjacency budget — training may be slow or fail to "
+                    "compile; consider LightGCNScorer or a smaller graph",
+                    edges=len(coo.row),
+                )
 
     def init_model(self, key):
         cfg = self.config
@@ -474,7 +485,9 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
 
     def final_params(self):
         if self.conv is not None:
-            u_eff, i_eff = lightgcn_propagate(self.params, self.conv, self.config.convolution_layers)
+            u_eff, i_eff = lightgcn_propagate(
+                self.params, self.conv, self.config.convolution_layers, adj=self._adj
+            )
             out = dict(self.params)
             out["u_embed"] = u_eff
             out["i_embed"] = i_eff
@@ -484,8 +497,17 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
     @property
     def step_consts(self) -> tuple:
         out = (self.neg_index.rowptr, self.neg_index.colind, self.neg_index.bloom)
-        if self.conv is not None:
-            out = out + (self.conv[0], self.conv[1], self.conv[2])
+        if self._adj is not None:
+            out = out + (self._adj,)
+        elif self.conv is not None:
+            out = out + (
+                self.conv[0],
+                self.conv[1],
+                self.conv[2],
+                self.conv[5],
+                self.conv[6],
+                self.conv[7],
+            )
         return out
 
     def build_step(self):
@@ -498,6 +520,7 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
         pos_w = cfg.positive_weight
         strategy = cfg.selected_negative_strategy()
         has_conv = self.conv is not None
+        has_adj = self._adj is not None
         nu_pad, ni_pad = self.nu_pad, self.ni_pad
         idx_rows, idx_cols = self.neg_index.n_rows, self.neg_index.n_cols
         log2_bits = self.neg_index.log2_bits
@@ -505,22 +528,22 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
         n_items = self.n_items
         C = cfg.warp_candidates
 
-        def scores(params, conv, users, items):
-            if conv is not None:
-                embeds = lightgcn_propagate(params, conv, layers)
+        def scores(params, conv, adj, users, items):
+            if adj is not None or conv is not None:
+                embeds = lightgcn_propagate(params, conv, layers, adj=adj)
             else:
                 embeds = None
             return model_scores(params, users, items, embeds=embeds)
 
-        def loss_fn(params, key, neg_index, conv, users, pos):
-            pos_pred, pos_norm = scores(params, conv, users, pos)
+        def loss_fn(params, key, neg_index, conv, adj, users, pos):
+            pos_pred, pos_norm = scores(params, conv, adj, users, pos)
 
             if strategy == "misranked":
                 # WARP (reference: _implicit.py:293): sample a candidate
                 # budget, find the first misranked negative; estimated rank
                 # from the attempt count -> harmonic weight.
                 negs = sample_negatives(key, neg_index, users, n=C, weighting="uniform")
-                cand_scores, cand_norms = scores(params, conv, users, negs)
+                cand_scores, cand_norms = scores(params, conv, adj, users, negs)
                 better = cand_scores > pos_pred[:, None]  # (B, C)
                 any_better = jnp.any(better, axis=1)
                 first = jnp.argmax(better, axis=1)  # first misrank position
@@ -542,7 +565,7 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
                 loss = jnp.mean(lp)
             else:
                 negs = sample_negatives(key, neg_index, users, n=n_neg, weighting="popularity" if strategy == "popular" else "uniform")
-                neg_pred, neg_norm = scores(params, conv, users, negs)
+                neg_pred, neg_norm = scores(params, conv, adj, users, negs)
                 if loss_kind == "logistic":
                     pos_lp = -jax.nn.log_sigmoid(pos_pred) * pos_w
                     neg_lp = -jax.nn.log_sigmoid(-neg_pred)
@@ -558,13 +581,16 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
             # consts first (see step_consts), then the scanned batch
             nrp, nci, bloom = args[0], args[1], args[2]
             neg_index = DeviceCSRIndex(nrp, nci, idx_rows, idx_cols, bloom, log2_bits)
-            if has_conv:
-                conv = (args[3], args[4], args[5], nu_pad, ni_pad)
-                users, pos = args[6], args[7]
+            conv = adj = None
+            if has_adj:
+                adj = args[3]
+                users, pos = args[4], args[5]
+            elif has_conv:
+                conv = (args[3], args[4], args[5], nu_pad, ni_pad, args[6], args[7], args[8])
+                users, pos = args[9], args[10]
             else:
-                conv = None
                 users, pos = args[3], args[4]
-            loss, grads = jax.value_and_grad(loss_fn)(params, key, neg_index, conv, users, pos)
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, neg_index, conv, adj, users, pos)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss

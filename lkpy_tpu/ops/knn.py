@@ -377,7 +377,10 @@ def similarity_topk(
         step = max(_pad_pow2(nnz_max) // 8, 8)
         nnz_pad = -(-nnz_max // step) * step
         if bf16 is None:
-            bf16 = knn_bf16_default()
+            # default bf16 only where the recall validation below actually
+            # runs (the approx path); without it bf16 rounding would be
+            # unguarded — callers can still force bf16=True explicitly
+            bf16 = knn_bf16_default() and approx and recall_validate
         # pack each chunk into ONE device buffer when indices fit uint16
         # (catalogs < 64k items): [rel, col, val-as-bf16-bits] — HALF the
         # bytes and a third of the per-transfer round-trips of three f32/i32
@@ -437,8 +440,11 @@ def similarity_topk(
         run_tiles(fn, S)
         if not check_recall(fn, S):
             # rebuild exactly: f32 Gram (bf16 rounding is invalidated too,
-            # ADVICE r3) + exact top-k tiles
+            # ADVICE r3) + exact top-k tiles.  The failed S is DROPPED
+            # first — n_items² is the single-chip memory ceiling, and two
+            # copies would OOM the recovery path at ~50k items.
             if bf16:
+                S = None
                 S = build_gram(False)
             run_tiles(fn, S, approx_flag=False)
 

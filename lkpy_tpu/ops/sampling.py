@@ -48,7 +48,9 @@ def _build_bloom(rowptr: np.ndarray, colind: np.ndarray, n_rows: int) -> tuple[n
     rate).  False positives only WASTE a sampling attempt; false negatives
     are impossible, so accepted negatives are still exactly verified."""
     nnz = len(colind)
-    log2_bits = max(int(np.ceil(np.log2(max(nnz * 16, 1024)))), 10)
+    # cap at 32: the hashes are 32-bit (beyond ~268M interactions the load
+    # factor rises instead of the table growing)
+    log2_bits = min(max(int(np.ceil(np.log2(max(nnz * 16, 1024)))), 10), 32)
     words = np.zeros((1 << log2_bits) >> 5, dtype=np.uint32)
     rows = np.repeat(
         np.arange(n_rows, dtype=np.uint32), np.diff(rowptr).astype(np.int64)
@@ -195,14 +197,18 @@ def sample_negatives(
     *,
     n: int = 1,
     weighting: str = "uniform",
-    max_attempts: int = 8,
+    max_attempts: int = 16,
 ) -> jax.Array:
     """Sample verified negative columns for the given rows (jit-compatible).
 
     All ``max_attempts`` candidates are drawn and verified at once (one
     vectorized membership pass); each output slot takes its first verified
-    candidate.  8 attempts puts the per-slot failure odds below 1e-9 at
-    typical interaction densities (p_bad ≈ row_nnz/n_cols).  Indexes built
+    candidate; a slot whose every attempt fails keeps its last draw (the
+    reference's attempt-capped rejection accepts the same, sampling.rs:50).
+    16 attempts put the per-slot failure odds below 1e-10 even for dense
+    rows at p_bad ≈ 0.25 (p_bad ≈ row_nnz/n_cols plus the Bloom's ~1.5%
+    false positives); with the Bloom probe the cost is lane count, not
+    serial rounds.  Indexes built
     with a Bloom filter (the default) verify with two gathers; otherwise an
     exact ~log2(n_cols)-gather binary search."""
     if index.bloom is not None:

@@ -26,10 +26,9 @@ only bounded (user_chunk, n_items) slabs exist, sized by
   bounded memory (the 500k-item catalog needs ~1 TB dense across any
   realistic mesh — VERDICT r3 weak #6).
 
-Both modes share the single-device build's bf16-Gram-slab policy
-(:func:`lkpy_tpu.ops.knn.knn_bf16_default`, ``LKT_KNN_BF16_GRAM`` opt-out),
-so sharded and single-device builds produce the same tables under the same
-configuration.
+Both modes accept the single-device build's ``bf16`` Gram-slab option,
+but default to f32: no recall validation exists on the sharded path, so
+reduced precision is an explicit opt-in.
 """
 
 from __future__ import annotations
@@ -40,7 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lkpy_tpu.data.matrix import CSR
-from lkpy_tpu.ops.knn import NeighborTable, _pad_pow2, knn_bf16_default
+from lkpy_tpu.ops.knn import NeighborTable, _pad_pow2
 from lkpy_tpu.parallel.mesh import get_mesh
 
 __all__ = ["sharded_similarity_topk"]
@@ -84,9 +83,9 @@ def sharded_similarity_topk(
 
     ``iu_csr`` must already be normalized (items × users).  Matches
     :func:`lkpy_tpu.ops.knn.similarity_topk`'s exact-top-k path under the
-    same Gram precision (``bf16`` defaults to the shared policy,
-    :func:`~lkpy_tpu.ops.knn.knn_bf16_default`; pass ``bf16=False`` for the
-    f32/exact configuration).  ``max_dense_bytes`` bounds the per-device
+    same Gram precision (default f32; ``bf16=True`` is an explicit opt-in
+    here because no recall validation guards the sharded build).
+    ``max_dense_bytes`` bounds the per-device
     dense user-slab scratch; ``sim_block_bytes`` bounds each device's
     resident S block — when a device's full (rows_per, n_items) share
     exceeds it, the build streams row blocks (accumulate → truncate →
@@ -98,7 +97,10 @@ def sharded_similarity_topk(
     k = min(k, max(n_items - 1, 1))
     min_sim_j = jnp.float32(max(min_sim, float(np.finfo(np.float32).smallest_normal)))
     if bf16 is None:
-        bf16 = knn_bf16_default()
+        # no recall validation exists on the sharded path, so bf16 must be
+        # an explicit opt-in (mirrors the single-device default, which only
+        # enables bf16 where the approx-recall check guards it)
+        bf16 = False
     slab_dt = jnp.bfloat16 if bf16 else jnp.float32
 
     Np = -(-n_items // d) * d

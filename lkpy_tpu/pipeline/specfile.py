@@ -109,14 +109,17 @@ def is_search_file(path) -> bool:
 _RANKING_METRICS = {"NDCG", "RBP", "Precision", "Recall", "RecipRank", "Hit", "MAP"}
 
 
-def load_search_file(path):
+def load_search_file(path, data: dict | None = None):
     """Load a ``-search`` spec TOML into a :class:`~lkpy_tpu.tuning.TuningSpec`
-    (reference: pipelines/als-implicit-search.toml)."""
+    (reference: pipelines/als-implicit-search.toml).  ``data`` may carry the
+    already-parsed TOML (callers that dispatched on its shape avoid a
+    second read)."""
     from lkpy_tpu.tuning import ParamSpace, TuningSpec
 
     path = Path(path)
-    with open(path, "rb") as f:
-        data = tomllib.load(f)
+    if data is None:
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
     search = data.get("search", {})
     # the pipeline may be referenced by file or embedded under [pipeline]
     pdata = data.get("pipeline", {})

@@ -45,6 +45,7 @@ def test_chunked_spmm_matches_segment_sum():
     import jax.numpy as jnp
 
     from lkpy_tpu.models import lightgcn as lg
+    from lkpy_tpu.ops import graph as gr
 
     rng = np.random.default_rng(9)
     n_u, n_i, k, nnz = 40, 30, 8, 300
@@ -57,11 +58,11 @@ def test_chunked_spmm_matches_segment_sum():
     conv = (rows, cols, vals, n_u, n_i)
 
     dense_u, dense_i = lg.propagate(u, i, conv, blend)
-    old_min, old_chunk = lg._SPMM_CHUNK_MIN, lg._SPMM_CHUNK
+    old_min, old_chunk = gr._SPMM_CHUNK_MIN, gr._SPMM_CHUNK
     try:
-        lg._SPMM_CHUNK_MIN, lg._SPMM_CHUNK = 1, 64  # force chunking, 5 chunks
+        gr._SPMM_CHUNK_MIN, gr._SPMM_CHUNK = 1, 64  # force chunking, 5 chunks
         chunk_u, chunk_i = lg.propagate(u, i, conv, blend)
     finally:
-        lg._SPMM_CHUNK_MIN, lg._SPMM_CHUNK = old_min, old_chunk
+        gr._SPMM_CHUNK_MIN, gr._SPMM_CHUNK = old_min, old_chunk
     np.testing.assert_allclose(np.asarray(chunk_u), np.asarray(dense_u), atol=1e-5)
     np.testing.assert_allclose(np.asarray(chunk_i), np.asarray(dense_i), atol=1e-5)
