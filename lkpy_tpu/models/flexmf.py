@@ -11,7 +11,8 @@ negative-sampling strategies (uniform / popularity / misranked), presets
 TPU-native: pure JAX pytree model + optax instead of torch nn.Embedding;
 negative sampling and the WARP misranked search run *inside* the jitted
 train step (bounded candidate budget instead of the reference's host loop,
-reference _implicit.py:293-415); LightGCN convolutions are COO segment-sums.
+reference _implicit.py:293-415); LightGCN convolutions run through the
+shared graph ops (``lkpy_tpu.ops.graph``).
 """
 
 from __future__ import annotations

@@ -3,11 +3,12 @@ LightGCN graph recommender (He et al. 2020).
 
 Capability parity with the reference ``LightGCNScorer``
 (reference: src/lenskit/graphs/lightgcn.py:42,108,186,312,319), which wraps
-``torch_geometric.nn.LightGCN``.  TPU-native: propagation is a symmetric-
-normalized bipartite SpMM as COO segment-sums (no PyG), with BPR or logistic
-loss and negative sampling inside the jitted train step — sharing the FlexMF
-embedding machinery (the reference's ``FlexMFModel`` likewise unifies
-MF + LightGCN layers, flexmf/_model.py:18).
+``torch_geometric.nn.LightGCN``.  TPU-native: propagation runs through the
+shared graph ops (``lkpy_tpu.ops.graph`` — sorted segment-sum SpMM for
+small graphs, a dense bf16 MXU adjacency for HBM-sized ones), with BPR or
+logistic loss and Bloom-verified negative sampling inside the scanned
+epoch program — sharing the FlexMF embedding machinery (the reference's
+``FlexMFModel`` likewise unifies MF + LightGCN layers, flexmf/_model.py:18).
 """
 
 from __future__ import annotations

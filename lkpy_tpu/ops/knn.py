@@ -289,9 +289,10 @@ def similarity_topk(
       S is n_items² f32 — fine through ~50k items on one chip; beyond that,
       pass a mesh via :func:`lkpy_tpu.parallel.knn.sharded_similarity_topk`.
 
-    ``bf16`` controls the Gram slab precision on the large path (default:
-    :func:`knn_bf16_default` — on for TPU, ``LKT_KNN_BF16_GRAM=0`` opts
-    out); a failed recall validation rebuilds the Gram in f32.
+    ``bf16`` controls the Gram slab precision on the large path.  The
+    default enables bf16 only where the recall validation below guards it
+    (TPU + approx + ``recall_validate``; ``LKT_KNN_BF16_GRAM=0`` opts out
+    globally) — a failed validation rebuilds the Gram in f32.
 
     When the approximate top-k path is used (large catalogs on TPU), the
     result's recall is validated on a ``_RECALL_SAMPLE_ROWS`` row sample
