@@ -147,8 +147,8 @@ def main():
     log(f"dataset built: {nnz} train / {len(test_u)} test interactions ({time.time() - t0:.1f}s)")
 
     # ---- 1. ALS training throughput --------------------------------------
-    u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096, ratio=1.5))
-    i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536, ratio=1.5))
+    u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096, ratio=1.35))
+    i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536, ratio=1.35))
     u_stats = chunk_stats(u_buckets)
     i_stats = chunk_stats(i_buckets)
     occupancy = (u_stats["real_entries"] + i_stats["real_entries"]) / (
@@ -391,8 +391,8 @@ def main():
     bu = np.bincount(tr_u, weights=r1, minlength=N_USERS) / (np.bincount(tr_u, minlength=N_USERS) + 5.0)
     resid = (r1 - bu[tr_u]).astype(np.float32)
     ui_e = CSR.from_coo(tr_u, tr_i, resid, (N_USERS, N_ITEMS))
-    ue_buckets = chunk_buckets(bucket_rows(ui_e, field="rating", max_width=4096, ratio=1.5))
-    ie_buckets = chunk_buckets(bucket_rows(ui_e.transpose(), field="rating", max_width=65536, ratio=1.5))
+    ue_buckets = chunk_buckets(bucket_rows(ui_e, field="rating", max_width=4096, ratio=1.35))
+    ie_buckets = chunk_buckets(bucket_rows(ui_e.transpose(), field="rating", max_width=65536, ratio=1.35))
     ue = jnp.asarray((rng.standard_normal((N_USERS, KE)) * 0.01).astype(np.float32))
     ie = jnp.asarray((rng.standard_normal((N_ITEMS, KE)) * 0.01).astype(np.float32))
     warm_epoch_programs(ue_buckets, ie_buckets, N_USERS, N_ITEMS, KE, "explicit")

@@ -27,8 +27,8 @@ ui = CSR.from_coo(tr_u, tr_i, vals, (bench.N_USERS, bench.N_ITEMS))
 iu = ui.transpose()
 print(f"dataset: {nnz} nnz", flush=True)
 
-u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096, ratio=1.5))
-i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536, ratio=1.5))
+u_buckets = chunk_buckets(bucket_rows(ui, field="rating", max_width=4096, ratio=1.35))
+i_buckets = chunk_buckets(bucket_rows(iu, field="rating", max_width=65536, ratio=1.35))
 print("user chunks:", [b.cols.shape for b in u_buckets], flush=True)
 print("item chunks:", [b.cols.shape for b in i_buckets], flush=True)
 

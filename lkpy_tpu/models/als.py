@@ -175,8 +175,8 @@ class ALSTrainerBase(ModelTrainer):
         # ratio-1.5 width ladder: every padded slot costs a factor-row gather
         # (the epoch bottleneck, ~3.5 ns/row); the finer ladder lifts padding
         # occupancy 0.73 -> ~0.86 on ML-20M for ~50% more (cached) programs
-        self.u_buckets = als_ops.chunk_buckets(bucket_rows(ui_csr, field="rating", ratio=1.5), mesh=self.mesh)
-        self.i_buckets = als_ops.chunk_buckets(bucket_rows(iu_csr, field="rating", ratio=1.5), mesh=self.mesh)
+        self.u_buckets = als_ops.chunk_buckets(bucket_rows(ui_csr, field="rating", ratio=1.35), mesh=self.mesh)
+        self.i_buckets = als_ops.chunk_buckets(bucket_rows(iu_csr, field="rating", ratio=1.35), mesh=self.mesh)
 
         k = self.config.embedding_size
         self.u_factors = self._place(self.initial_params(ui_csr.nrows, k))
