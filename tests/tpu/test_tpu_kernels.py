@@ -246,3 +246,47 @@ def test_fused_als_bucket_matches_oracle(rng):
         yr = Mr.T @ (cc + 1.0)
         exp = sla.cho_solve(sla.cho_factor(Ar), yr)
         np.testing.assert_allclose(got[r], exp, atol=2e-2 * np.abs(exp).max())
+
+
+def test_dense_adjacency_propagate_matches_segment(rng):
+    """Dense bf16 MXU propagation vs the sorted segment-sum form, compiled
+    on the chip (bf16 slab tolerance)."""
+    from lkpy_tpu.ops.graph import build_dense_adjacency, propagate, propagate_dense, sorted_conv
+
+    n_u, n_i, k, nnz = 500, 300, 32, 5000
+    rows = np.sort(rng.integers(0, n_u, nnz).astype(np.int32))
+    cols = rng.integers(0, n_i, nnz).astype(np.int32)
+    # dedupe (row, col) so the scatter-set build matches the edge list
+    keys = np.unique(rows.astype(np.int64) * n_i + cols)
+    rows = (keys // n_i).astype(np.int32)
+    cols = (keys % n_i).astype(np.int32)
+    vals = rng.uniform(0.01, 0.1, len(keys)).astype(np.float32)
+    u = rng.standard_normal((n_u, k)).astype(np.float32)
+    i = rng.standard_normal((n_i, k)).astype(np.float32)
+    blend = jnp.asarray(np.full(3, 1 / 3, np.float32))
+
+    conv = sorted_conv(rows, cols, vals, n_u, n_i)
+    su, si = propagate(jnp.asarray(u), jnp.asarray(i), conv, blend)
+    adj = build_dense_adjacency(conv[0], conv[1], conv[2], n_u, n_i)
+    du, di = propagate_dense(jnp.asarray(u), jnp.asarray(i), adj, blend)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(su), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(di), np.asarray(si), atol=5e-2)
+
+
+def test_bloom_negative_sampling_compiled(rng):
+    """Bloom-verified sampling on the chip: no sampled negative may be a
+    true interaction."""
+    import scipy.sparse as sps
+
+    from lkpy_tpu.data.matrix import CSR
+    from lkpy_tpu.ops.sampling import DeviceCSRIndex, sample_negatives
+
+    mat = sps.random(200, 500, density=0.08, random_state=11, format="csr")
+    csr = CSR.from_scipy(mat)
+    index = DeviceCSRIndex.from_csr(csr)
+    assert index.bloom is not None
+    rows = jnp.asarray(np.repeat(np.arange(200, dtype=np.int32), 8))
+    negs = np.asarray(sample_negatives(jax.random.key(5), index, rows, n=2))
+    sp = csr.to_scipy(structural=True)
+    rr = np.repeat(np.repeat(np.arange(200), 8), 2)
+    assert not (np.asarray(sp[rr, negs.ravel()]).ravel() > 0).any()
