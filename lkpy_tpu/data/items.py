@@ -87,6 +87,8 @@ class ItemList:
             self._vocab = vocabulary
         if item_ids is not None:
             ids = _np_field(item_ids)
+            if ids.ndim != 1:
+                raise TypeError(f"item_ids must be 1-D (got {ids.ndim}-D)")
             if ids.dtype == object:
                 ids = ids.astype(str)
             self._ids = ids
@@ -94,7 +96,16 @@ class ItemList:
             if source is None or item_nums is None:
                 self._nums = None if item_nums is None else None
         if item_nums is not None:
-            nums = _np_field(item_nums).astype(np.int32)
+            nums = _np_field(item_nums)
+            if nums.ndim != 1:
+                raise TypeError(f"item_nums must be 1-D (got {nums.ndim}-D)")
+            if nums.dtype.kind not in "iu":
+                raise TypeError(f"item_nums must be integers (got {nums.dtype})")
+            nums = nums.astype(np.int32)
+            if item_ids is not None and len(nums) != len(self._ids):
+                raise ValueError(
+                    f"item_ids and item_nums have mismatched sizes ({len(self._ids)} != {len(nums)})"
+                )
             self._nums = nums
             self._len = len(nums)
             if item_ids is None and source is None:
