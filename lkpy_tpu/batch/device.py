@@ -11,7 +11,6 @@ MXU matmul, history masking via the device CSR, and a fused top-k.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Protocol, runtime_checkable
 
 import jax
@@ -23,7 +22,13 @@ from lkpy_tpu.logging import Stopwatch, get_logger
 
 _log = get_logger(__name__)
 
-__all__ = ["BatchScorer", "device_recommend", "supports_device_batch"]
+__all__ = [
+    "BatchScorer",
+    "PendingRecommend",
+    "device_recommend",
+    "device_recommend_async",
+    "supports_device_batch",
+]
 
 
 @runtime_checkable
@@ -43,12 +48,15 @@ _DEV_CACHE_MAX = 32
 
 
 def invalidate_device_cache() -> None:
-    """Drop all cached device copies of scorer tables.
+    """Drop all cached device copies of scorer tables and training matrices.
 
     Call after mutating a scorer's embedding/bias arrays IN PLACE between
     serving calls — the cache assumes trained tables are immutable (they are
     for every trainer in this library, which always assigns fresh arrays)."""
+    from lkpy_tpu.batch.serving import invalidate_resident
+
     _dev_cache.clear()
+    invalidate_resident()
 
 
 def _cached_device(arr):
@@ -138,74 +146,6 @@ def _extract_arrays(scorer) -> dict | None:
     return None
 
 
-@partial(jax.jit, static_argnames=("n", "n_items", "method"))
-def _batch_topn(
-    u_emb,  # (B, k)
-    i_emb,  # (n_items, k)
-    u_bias,  # (B,) or None
-    i_bias,  # (n_items,) or None
-    offset,  # scalar
-    hist_cols,  # (B, H) int32 padded history
-    hist_mask,  # (B, H) bool
-    n: int,
-    n_items: int,
-    method: str = "exact",
-):
-    """Score all items for a user chunk and take the masked top-n.
-
-    ``method="exact"`` materializes the (B, n_items) score matrix and runs
-    the exact sort-based ``lax.top_k`` — right for small catalogs where XLA
-    fuses the whole thing on-chip.  ``method="approx"`` is the large-catalog
-    serving path (reference analog: batch/_runner.py:256 is the serving
-    surface): the scores only ever exist one (sub, n_items) slab at a time
-    inside a scan, history exclusion is scattered per-slab, and the TPU
-    hardware TopK (``lax.approx_max_k``) replaces the sort.
-    """
-    if method == "approx":
-        B = u_emb.shape[0]
-        sub = _approx_sub_chunk(B)
-        ub = jnp.zeros((B,), jnp.float32) if u_bias is None else u_bias
-
-        def body(_, xs):
-            ue, u_b, hc, hm = xs
-            s = jnp.dot(ue, i_emb.T, preferred_element_type=jnp.float32)
-            if i_bias is not None:
-                s = s + i_bias[None, :]
-            s = s + u_b[:, None] + offset
-            r_ids = jax.lax.broadcasted_iota(jnp.int32, hc.shape, 0)
-            tgt = jnp.where(hm, hc, n_items)
-            s = s.at[r_ids, tgt].set(-jnp.inf, mode="drop")
-            v, i = jax.lax.approx_max_k(s, n, recall_target=0.99, aggregate_to_topk=True)
-            return None, (v, i)
-
-        xs = tuple(
-            a.reshape(B // sub, sub, *a.shape[1:]) for a in (u_emb, ub, hist_cols, hist_mask)
-        )
-        _, (v, i) = jax.lax.scan(body, None, xs)
-        return v.reshape(B, n), i.reshape(B, n).astype(jnp.int32)
-
-    scores = jnp.dot(u_emb, i_emb.T, preferred_element_type=jnp.float32)  # (B, n_items)
-    if i_bias is not None:
-        scores = scores + i_bias[None, :]
-    if u_bias is not None:
-        scores = scores + u_bias[:, None]
-    scores = scores + offset
-    # mask training history: scatter -inf at rated positions
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, hist_cols.shape, 0)
-    tgt = jnp.where(hist_mask, hist_cols, n_items)
-    scores = scores.at[r_ids, tgt].set(-jnp.inf, mode="drop")
-    vals, idx = jax.lax.top_k(scores, n)
-    return vals, idx
-
-
-def _approx_sub_chunk(B: int) -> int:
-    """Largest power-of-two sub-chunk ≤ 256 that divides the batch."""
-    sub = 256
-    while sub > 1 and B % sub:
-        sub //= 2
-    return sub
-
-
 def try_device_recommend(pipeline, users, n: int | None, *, mesh=None, exact=None) -> ItemListCollection | None:
     """
     Use the device batch path for a *standard* topn pipeline, if possible.
@@ -237,7 +177,76 @@ def try_device_recommend(pipeline, users, n: int | None, *, mesh=None, exact=Non
     return device_recommend(scorer, users, n, lookup.interactions, mesh=mesh, exact=exact)
 
 
+class PendingRecommend:
+    """An enqueued batch-recommend call; ``result()`` blocks on the readback
+    and assembles the :class:`ItemListCollection`.
+
+    Issuing the next batch's :func:`device_recommend_async` before calling
+    ``result()`` pipelines serving: the new batch's device compute overlaps
+    this batch's device->host transfer (they use independent resources, so
+    steady-state throughput approaches ``max(compute, transfer)`` instead of
+    their sum — the TPU form of the reference's overlapped Ray fan-out,
+    batch/_ray.py TaskLimiter backpressure)."""
+
+    def __init__(self, pending, user_ids, nums, n, key_field, items_vocab, sw):
+        self._pending = pending
+        self._user_ids = user_ids
+        self._nums = nums
+        self._n = n
+        self._key_field = key_field
+        self._items_vocab = items_vocab
+        self._sw = sw
+
+    def result(self) -> ItemListCollection:
+        from lkpy_tpu.data.collection import ArrayTopNILC
+
+        scores_s, idx_s, order = self._pending.finalize()
+        user_ids, nums, n = self._user_ids, self._nums, self._n
+        N = len(user_ids)
+        nums_out = np.zeros((N, n), np.int32)
+        scores_out = np.full((N, n), -np.inf, np.float32)
+        lengths = np.zeros(N, np.int64)
+        nums_out[order] = idx_s
+        scores_out[order] = scores_s
+        # -inf (masked history) sorts to the tail, so the finite prefix is
+        # the valid list; unknown users keep length 0 (empty lists)
+        lengths[order] = np.isfinite(scores_s).sum(axis=1) * (nums[order] >= 0)
+        ilc = ArrayTopNILC(
+            [self._key_field], list(user_ids), nums_out, scores_out, lengths, self._items_vocab
+        )
+        self._sw.stop()
+        timings = self._pending.timings or {}
+        _log.info(
+            "device batch recommend",
+            users=N,
+            time=str(self._sw),
+            us_per_query=round(self._sw.elapsed() * 1e6 / max(N, 1), 1),
+            tunnel_ops=timings.get("tunnel_ops"),
+        )
+        return ilc
+
+
 def device_recommend(
+    scorer,
+    user_ids,
+    n: int,
+    matrix: MatrixRelationshipSet,
+    **kw,
+) -> ItemListCollection:
+    """
+    Batch top-N recommendation fully on device.
+
+    Transport is O(1) in the chunk count (see :mod:`lkpy_tpu.batch.serving`):
+    the training CSR and scorer tables are device-resident, the only per-call
+    upload is the user-number array, histories are gathered on device, and
+    the top-n results come back in one compact readback.  See
+    :func:`device_recommend_async` for the pipelined form and the argument
+    reference.
+    """
+    return device_recommend_async(scorer, user_ids, n, matrix, **kw).result()
+
+
+def device_recommend_async(
     scorer,
     user_ids,
     n: int,
@@ -248,9 +257,10 @@ def device_recommend(
     mesh=None,
     exact: bool | None = None,
     timings: dict | None = None,
-) -> ItemListCollection:
+) -> PendingRecommend:
     """
-    Batch top-N recommendation fully on device.
+    Enqueue a batch top-N recommendation; returns a :class:`PendingRecommend`
+    whose ``result()`` yields the :class:`ItemListCollection`.
 
     Args:
         scorer: an embedding-family scorer (trained).
@@ -258,10 +268,11 @@ def device_recommend(
         n: list length.
         matrix: the training interaction matrix (for history exclusion and
             user/item vocabularies).
-        mesh: optional device mesh — the query batch shards over its ``data``
-            axis (the TPU analog of the reference's Ray query fan-out,
-            batch/_ray.py); the item table is replicated and per-query top-n
-            needs no cross-device merge.
+        chunk: users per scan block inside the serving programs.
+        mesh: optional device mesh — the per-block batch dim shards over its
+            ``data`` axis (the TPU analog of the reference's Ray query
+            fan-out, batch/_ray.py); the item table is replicated and
+            per-query top-n needs no cross-device merge.
         exact: force exact (True) or hardware-TopK approximate (False)
             retrieval; ``None`` (default) defers to ``settings.serving``:
             hardware TopK on TPU for catalogs ≥
@@ -269,6 +280,7 @@ def device_recommend(
             exact otherwise — pin ``serving.exact = true`` to keep the
             reference's always-exact batch behavior globally.
     """
+    from lkpy_tpu.batch.serving import enqueue_serve
     from lkpy_tpu.config import lkpy_tpu_config
     from lkpy_tpu.ops.topk import _warn_approx_once
 
@@ -276,24 +288,13 @@ def device_recommend(
     if arrays is None:
         raise TypeError(f"{type(scorer).__name__} does not support device batch scoring")
     sw = Stopwatch()
-    batch_shard = rep_shard = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        batch_shard = {
-            1: NamedSharding(mesh, P("data")),
-            2: NamedSharding(mesh, P("data", None)),
-        }
-        rep_shard = NamedSharding(mesh, P())
-        d = mesh.shape["data"]
-        chunk = max(chunk, d) // d * d  # chunks divisible by the data axis
     users_vocab = matrix.row_vocabulary
     items_vocab = matrix.col_vocabulary
     n_items = len(items_vocab)
-    csr = matrix.csr(None)
+    csr = matrix.csr("rating")
 
+    serving = lkpy_tpu_config().serving
     if exact is None:
-        serving = lkpy_tpu_config().serving
         exact = serving.exact
         if exact is None:
             method = (
@@ -307,24 +308,22 @@ def device_recommend(
         method = "exact" if exact else "approx"
     if method == "approx":
         _warn_approx_once(n_items, 0.99)
-        # pad chunks to a 256 multiple so the scan sub-chunk stays MXU-sized
-        chunk = max(chunk, 256) // 256 * 256
-
-    if rep_shard is None:
-        i_emb = _cached_device(arrays["i_embed"])
-        if i_emb.dtype != jnp.float32:
-            i_emb = i_emb.astype(jnp.float32)
+    # compact readback (f16 scores, u16 indices) costs score precision; keep
+    # exact f32 off-TPU where transfers are free (so CPU tests see exact
+    # scores) unless the config pins it
+    if serving.readback_precision == "auto":
+        compact = jax.default_backend() == "tpu"
     else:
-        i_emb = jax.device_put(jnp.asarray(arrays["i_embed"], dtype=jnp.float32), rep_shard)
-    u_table = np.asarray(arrays["u_embed"], dtype=np.float32)
-    u_bias_t = arrays.get("u_bias")
+        compact = serving.readback_precision == "f16"
+
+    def _f32_resident(arr):
+        dev = _cached_device(arr)
+        return dev.astype(jnp.float32) if dev.dtype != jnp.float32 else dev
+
+    i_emb = _f32_resident(arrays["i_embed"])
     i_bias = arrays.get("i_bias")
-    i_bias_j = None if i_bias is None else _cached_device(i_bias)
-    if i_bias_j is not None and i_bias_j.dtype != jnp.float32:
-        i_bias_j = i_bias_j.astype(jnp.float32)
-    if rep_shard is not None and i_bias_j is not None:
-        i_bias_j = jax.device_put(i_bias_j, rep_shard)
-    offset = jnp.float32(arrays.get("offset", 0.0))
+    i_bias_j = None if i_bias is None else _f32_resident(i_bias)
+    offset = float(arrays.get("offset", 0.0))
 
     user_ids = np.asarray(user_ids)
     nums = users_vocab.numbers(user_ids, missing="negative")
@@ -333,130 +332,41 @@ def device_recommend(
     # (matches the reference's default user_embeddings=True behavior,
     # als/_common.py:133-147); "prefer" uses the trained table directly.
     use_fold = (
-        hasattr(scorer, "device_fold_in")
+        hasattr(scorer, "device_fold_kernel")
         and getattr(getattr(scorer, "config", None), "user_embeddings", None) != "prefer"
     )
+    kern = None
+    kern_args = ()
+    u_table = u_bias_j = None
     # implicit fold-in with use_ratings=False only needs history structure —
-    # skip shipping the rating values (1/3 of the history transfer)
+    # skip gathering the rating values on device
     needs_vals = use_fold and getattr(scorer, "fold_in_needs_ratings", True)
-    hist_field = "rating" if needs_vals else None
-    if not use_fold:
-        # without fold-in the per-chunk work is one matmul+topk; on remote
-        # (tunneled) backends each chunk costs ~2 host round-trips (dispatch
-        # + readback, ~50-80 ms each), which DOMINATED the 500k serving
-        # measurement — use the largest chunk the batch allows (measured
-        # phase split r4: enqueue 0.38 s + readback 0.33 s for 4 chunks of
-        # 1024).  The fold path keeps smaller chunks: length-sorted history
-        # padding is worth more there.
-        chunk = max(chunk, 1 << 14)
-        if method == "approx":
-            chunk = chunk // 256 * 256
-        if mesh is not None:
-            d = mesh.shape["data"]
-            chunk = max(chunk, d) // d * d
+    if use_fold:
+        kern, kern_args = scorer.device_fold_kernel()
+    else:
+        u_table = _f32_resident(arrays["u_embed"])
+        u_bias_t = arrays.get("u_bias")
+        u_bias_j = None if u_bias_t is None else _f32_resident(u_bias_t)
 
-    lens = csr.row_lengths()
-    # fold-path chunk size: isolated r4 probes measured 1024→3.5k qps,
-    # 4096→8.6k, 16384→3.7k (round-trips amortize, then mixed history
-    # lengths blow the padded (B, H) width back up) — but full-bench runs
-    # measured the OPPOSITE ordering (5.2k at 1024 vs 1.7k at 4096); the
-    # tunnel's transfer service is too non-stationary to tune against, so
-    # the default stays at the full-run winner.
-    # process users sorted by history length so each chunk's padded history
-    # width H matches its members instead of the global maximum — the padded
-    # (B, H) history transfer dominated serving cost on remote devices
-    # (measured 40x padding waste on popularity-skewed histories); results
-    # are emitted back in input order below.
-    order = np.argsort(np.where(nums >= 0, lens[np.maximum(nums, 0)], 0), kind="stable")
-    user_ids_s = user_ids[order]
-    nums_s = nums[order]
-    pending: list = []
-    import time as _time
-
-    t_start = _time.perf_counter()
-    for lo in range(0, len(user_ids), chunk):
-        hi = min(lo + chunk, len(user_ids))
-        cn = nums_s[lo:hi]
-        known = cn >= 0
-        safe = np.where(known, cn, 0)
-        B = hi - lo
-        # pad the (possibly final partial) chunk so the batch dim splits
-        # evenly over the data axis and, on the approx path, keeps the scan
-        # sub-chunk MXU-sized; pads are dropped from the output
-        pad_mult = mesh.shape["data"] if mesh is not None else 1
-        if method == "approx":
-            import math
-
-            pad_mult = math.lcm(pad_mult, 256)
-        pad_b = (-B) % pad_mult
-        if pad_b:
-            safe = np.concatenate([safe, np.zeros(pad_b, dtype=safe.dtype)])
-            known = np.concatenate([known, np.zeros(pad_b, dtype=bool)])
-        # pad histories for the chunk (64-multiple width to bound recompiles;
-        # with length-sorted users the chunk max is close to its members)
-        from lkpy_tpu.ops.sparse import pad_rows, round_up
-
-        H = round_up(max(int(lens[safe].max()) if len(safe) else 1, 1), 64)
-        p = pad_rows(csr, width=H, rows=safe.astype(np.int32), field=hist_field)
-        hist_cols = np.asarray(p.cols)
-        hist_mask = np.asarray(p.mask) & known[:, None]
-
-        def place(arr, ndim=2):
-            a = jnp.asarray(arr)
-            if batch_shard is not None:
-                a = jax.device_put(a, batch_shard[ndim])
-            return a
-
-        hist_cols_j = place(hist_cols)
-        hist_mask_j = place(hist_mask)
-        if use_fold:
-            u_emb, ub = scorer.device_fold_in(
-                hist_cols_j, None if p.values is None else place(p.values), hist_mask_j
-            )
-            u_bias_j = ub
-        else:
-            u_emb = place(u_table[safe])
-            u_bias_j = None if u_bias_t is None else place(np.asarray(u_bias_t)[safe].astype(np.float32), 1)
-        vals, idx = _batch_topn(
-            u_emb, i_emb, u_bias_j, i_bias_j, offset, hist_cols_j, hist_mask_j, n, n_items, method
-        )
-        # defer the device->host copies: enqueue every chunk's programs
-        # first, sync once below (per-chunk round-trips dominated serving on
-        # remote backends)
-        pending.append((lo, B, known, vals, idx))
-
-    t_enqueue = _time.perf_counter() - t_start
-
-    # readback + vectorized assembly: one (N, n) block, ItemLists built
-    # lazily by ArrayTopNILC (the per-user Python loop here cost ~29 µs/query
-    # — a 34k qps ceiling with a zero-latency device; VERDICT r3 weak #3)
-    from lkpy_tpu.data.collection import ArrayTopNILC
-
-    N = len(user_ids)
-    nums_out = np.zeros((N, n), np.int32)
-    scores_out = np.full((N, n), -np.inf, np.float32)
-    lengths = np.zeros(N, np.int64)
-    for lo, B, known, vals, idx in pending:
-        vals = np.asarray(vals)[:B]
-        idx = np.asarray(idx)[:B]
-        pos = order[lo : lo + B]
-        nums_out[pos] = idx
-        scores_out[pos] = vals
-        # -inf (masked history) sorts to the tail, so the finite prefix is
-        # the valid list; unknown users keep length 0 (empty lists)
-        lengths[pos] = np.isfinite(vals).sum(axis=1) * known[:B]
-    t_read = _time.perf_counter() - t_start - t_enqueue
-    ilc = ArrayTopNILC([key_field], list(user_ids), nums_out, scores_out, lengths, items_vocab)
-    sw.stop()
-    if timings is not None:
-        timings["enqueue_s"] = t_enqueue
-        timings["readback_s"] = t_read
-    _log.info(
-        "device batch recommend",
-        users=len(user_ids),
-        time=str(sw),
-        us_per_query=round(sw.elapsed() * 1e6 / max(len(user_ids), 1), 1),
-        enqueue_s=round(t_enqueue, 3),
-        readback_s=round(t_read, 3),
+    if timings is None:
+        timings = {}
+    pending = enqueue_serve(
+        nums,
+        csr,
+        n=n,
+        n_items=n_items,
+        method=method,
+        i_emb=i_emb,
+        i_bias=i_bias_j,
+        offset=offset,
+        kern=kern,
+        kern_args=kern_args,
+        needs_vals=needs_vals,
+        u_table=u_table,
+        u_bias=u_bias_j,
+        block=chunk,
+        mesh=mesh,
+        compact=compact,
+        timings=timings,
     )
-    return ilc
+    return PendingRecommend(pending, user_ids, nums, n, key_field, items_vocab, sw)

@@ -92,6 +92,13 @@ class ServingSettings(BaseModel):
     "Force exact (true) or hardware-TopK (false) retrieval; null = auto."
     approx_min_items: int = 200_000
     "Catalog size at which auto mode switches to the hardware TopK."
+    readback_precision: str = "auto"
+    """Top-n readback encoding: ``"f16"`` returns float16 scores (+uint16
+    indices for catalogs ≤ 65536 items) — 4 bytes per recommendation instead
+    of 8, which halves the serving readback on remote (tunneled) devices at
+    the cost of ~3 decimal digits of reported score precision (ranking order
+    is unaffected; it is computed in f32 on device).  ``"f32"`` keeps exact
+    scores; ``"auto"`` (default) uses f16 on TPU backends only."""
 
 
 class Settings(BaseModel):

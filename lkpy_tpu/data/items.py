@@ -93,8 +93,9 @@ class ItemList:
                 ids = ids.astype(str)
             self._ids = ids
             self._len = len(ids)
-            if source is None or item_nums is None:
-                self._nums = None if item_nums is None else None
+            # any inherited nums no longer correspond to these ids; the
+            # item_nums branch below reassigns when nums are also given
+            self._nums = None
         if item_nums is not None:
             nums = _np_field(item_nums)
             if nums.ndim != 1:
@@ -102,7 +103,7 @@ class ItemList:
             if nums.dtype.kind not in "iu":
                 raise TypeError(f"item_nums must be integers (got {nums.dtype})")
             nums = nums.astype(np.int32)
-            if item_ids is not None and len(nums) != len(self._ids):
+            if self._ids is not None and len(nums) != len(self._ids):
                 raise ValueError(
                     f"item_ids and item_nums have mismatched sizes ({len(self._ids)} != {len(nums)})"
                 )

@@ -52,6 +52,34 @@ class UIPair(BaseModel):
     item: float
 
 
+# ---------------------------------------------------------------------------
+# fold-in kernels for the grouped serving engine (batch/serving.py).
+#
+# Module-level (stable identity) so the serving programs that close over them
+# hit the jit cache across calls; every non-array parameter arrives as a
+# device-resident scalar to avoid per-call uploads.
+
+
+def _fold_implicit_kernel(cols, vals, mask, i_emb, OtOr, weight):
+    """Vectorized implicit fold-in (reference: als/_implicit.py:133)."""
+    m = mask.astype(jnp.float32)
+    conf = (weight * m) if vals is None else (vals * weight * m)
+    u = als_ops.solve_implicit_bucket(cols, conf, mask, i_emb, OtOr)
+    return u, jnp.zeros(cols.shape[0], dtype=jnp.float32)
+
+
+def _fold_explicit_kernel(cols, vals, mask, i_emb, i_bias, gbias, damping, reg):
+    """Vectorized explicit fold-in with bias removal
+    (reference: als/_explicit.py:94 + _train_bias_row_cholesky:121)."""
+    m = mask.astype(jnp.float32)
+    resid = (vals - gbias - i_bias[cols]) * m
+    n_u = jnp.sum(m, axis=1)
+    ub = jnp.sum(resid, axis=1) / (n_u + damping)
+    resid = (resid - ub[:, None]) * m
+    u = als_ops.solve_explicit_bucket(cols, resid, mask, i_emb, reg)
+    return u, ub
+
+
 class ALSConfig(EmbeddingSizeMixin, BaseModel):
     """ALS configuration (reference: als/_common.py:36)."""
 
@@ -138,6 +166,13 @@ class ALSBase(UsesTrainer, Component):
         Returns:
             (user embeddings (B, k), per-user bias offsets (B,)).
         """
+        kern, args = self.device_fold_kernel()
+        return kern(cols, vals, mask, *args)
+
+    def device_fold_kernel(self):
+        """``(kernel_fn, device_args)`` for the grouped serving engine
+        (batch/serving.py): ``kernel_fn`` is a pure, module-level jnp
+        function called inside the serving program's scan body."""
         raise NotImplementedError
 
     # ---- parameter container (reference: state/_container.py:14) ---------
@@ -289,23 +324,22 @@ class BiasedMFScorer(ALSBase):
         return ItemList(items, scores=scores + biases)
 
     def device_fold_in(self, cols, vals, mask):
-        import jax.numpy as jnp
-
         if vals is None:
             raise ValueError("explicit ALS fold-in requires ratings")
+        return super().device_fold_in(cols, vals, mask)
+
+    def device_fold_kernel(self):
         from lkpy_tpu.batch.device import _cached_device
+        from lkpy_tpu.batch.serving import scalar_dev
         from lkpy_tpu.models.bias import entity_damping
 
-        i_emb = _cached_device(self.item_embeddings)
-        ib = _cached_device(self.bias.item_biases)
-        m = mask.astype(jnp.float32)
-        resid = (vals - self.bias.global_bias - ib[cols]) * m
-        damping = entity_damping(self.bias.damping, "user")
-        n_u = jnp.sum(m, axis=1)
-        ub = jnp.sum(resid, axis=1) / (n_u + damping)
-        resid = (resid - ub[:, None]) * m
-        u = als_ops.solve_explicit_bucket(cols, resid, mask, i_emb, jnp.float32(self.config.user_reg))
-        return u, ub
+        return _fold_explicit_kernel, (
+            _cached_device(self.item_embeddings),
+            _cached_device(self.bias.item_biases),
+            scalar_dev(self.bias.global_bias),
+            scalar_dev(entity_damping(self.bias.damping, "user")),
+            scalar_dev(self.config.user_reg),
+        )
 
 
 class BiasedMFTrainer(ALSTrainerBase):
@@ -363,20 +397,21 @@ class ImplicitMFScorer(ALSBase):
         return u_feat, None
 
     def device_fold_in(self, cols, vals, mask):
-        import jax.numpy as jnp
+        if self.config.use_ratings and vals is None:
+            raise ValueError("use_ratings=True requires rating values")
+        if not self.config.use_ratings:
+            vals = None  # flat confidence ignores any supplied ratings
+        return super().device_fold_in(cols, vals, mask)
 
+    def device_fold_kernel(self):
         from lkpy_tpu.batch.device import _cached_device
+        from lkpy_tpu.batch.serving import scalar_dev
 
-        i_emb = _cached_device(self.item_embeddings)
-        m = mask.astype(jnp.float32)
-        if self.config.use_ratings:
-            if vals is None:
-                raise ValueError("use_ratings=True requires rating values")
-            conf = vals * self.config.weight * m
-        else:
-            conf = jnp.full(cols.shape, self.config.weight, dtype=jnp.float32) * m
-        u = als_ops.solve_implicit_bucket(cols, conf, mask, i_emb, _cached_device(self._OtOr))
-        return u, jnp.zeros(cols.shape[0], dtype=jnp.float32)
+        return _fold_implicit_kernel, (
+            _cached_device(self.item_embeddings),
+            _cached_device(self._OtOr),
+            scalar_dev(self.config.weight),
+        )
 
 
 class ImplicitMFTrainer(ALSTrainerBase):
