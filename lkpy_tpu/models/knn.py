@@ -81,7 +81,8 @@ class ItemKNNScorer(Component):
         log = _log.bind(n_items=data.item_count, feedback=self.config.feedback)
         sw = Stopwatch()
         matrix = data.interaction_matrix()
-        iu = matrix.csr("rating" if self.config.explicit else None).transpose()
+        ui = matrix.csr("rating" if self.config.explicit else None)
+        iu = ui.transpose()
         if iu.values is None:
             iu = iu.with_values(np.ones(iu.nnz, dtype=np.float32))
         normed, means = knn_ops.normalize_item_matrix(iu, explicit=self.config.explicit)
@@ -92,7 +93,9 @@ class ItemKNNScorer(Component):
 
             self.sim_table = sharded_similarity_topk(normed, k, self.config.min_sim, mesh=options.mesh)
         else:
-            self.sim_table = knn_ops.similarity_topk(normed, k, self.config.min_sim)
+            # ui hands the large-catalog Gram path the user-major structure
+            # so chunks derive fully on device (zero per-chunk transfer)
+            self.sim_table = knn_ops.similarity_topk(normed, k, self.config.min_sim, user_major=ui)
         self.items = data.items
         self.item_means = means
         self.item_counts = self.sim_table.counts()

@@ -64,6 +64,33 @@ class NeighborTable(NamedTuple):
         return (self.sims > 0).sum(axis=1).astype(np.int32)
 
 
+_row_scale_cache: dict = {}
+
+
+def _note_row_scale(csr: CSR, row_scale: np.ndarray) -> None:
+    """Record that ``csr``'s values are row-constant (= ``row_scale`` per
+    row) in a weak side table, so the Gram path skips its detection pass.
+    CSR ``fields`` hold per-entry arrays, so a per-row annotation cannot
+    ride there."""
+    import weakref
+
+    key = id(csr)
+    try:
+        ref = weakref.ref(csr, lambda _r, k=key: _row_scale_cache.pop(k, None))
+    except TypeError:  # pragma: no cover
+        return
+    while len(_row_scale_cache) >= 8:
+        _row_scale_cache.pop(next(iter(_row_scale_cache)))
+    _row_scale_cache[key] = (ref, row_scale)
+
+
+def _get_row_scale(csr: CSR) -> np.ndarray | None:
+    hit = _row_scale_cache.get(id(csr))
+    if hit is not None and hit[0]() is csr:
+        return hit[1]
+    return None
+
+
 def _segment_sums(vals: np.ndarray, rowptr: np.ndarray, nrows: int) -> np.ndarray:
     """Per-row sums of CSR-contiguous values via ``np.add.reduceat`` —
     several times faster than bincount-with-weights at ML-20M nnz (no f64
@@ -88,9 +115,22 @@ def normalize_item_matrix(iu_csr: CSR, *, explicit: bool) -> tuple[CSR, np.ndarr
     lens = iu_csr.row_lengths()
     rowptr = iu_csr.rowptr
     nrows = iu_csr.nrows
-    vals = iu_csr.values if iu_csr.values is not None else np.ones(iu_csr.nnz, dtype=np.float32)
-    vals = np.asarray(vals, dtype=np.float32)
+    raw = iu_csr.values
     means = None
+    if not explicit and (raw is None or (len(raw) and raw[0] > 0 and np.all(raw == raw[0]))):
+        # implicit fast path for (globally) constant values: the normalized
+        # value of every entry of row i is exactly 1/sqrt(len_i) — one
+        # np.repeat instead of four O(nnz) passes (the host normalize cost
+        # 0.5-3 s at ML-20M scale), and the per-row scale rides along as a
+        # field so the Gram path skips its row-constant detection pass
+        row_scale = np.zeros(nrows, dtype=np.float32)
+        nz = lens > 0
+        row_scale[nz] = 1.0 / np.sqrt(lens[nz].astype(np.float64))
+        out = iu_csr.with_values(np.repeat(row_scale, lens))
+        _note_row_scale(out, row_scale)
+        return out, None
+    vals = raw if raw is not None else np.ones(iu_csr.nnz, dtype=np.float32)
+    vals = np.asarray(vals, dtype=np.float32)
     if explicit:
         sums = _segment_sums(vals, rowptr, nrows)
         means = np.zeros(nrows, dtype=np.float32)
@@ -132,20 +172,33 @@ def _slice_rows_at(S: jax.Array, start: jax.Array, tile: int) -> jax.Array:
     return jax.lax.dynamic_slice_in_dim(S, start, tile, axis=0)
 
 
-@partial(jax.jit, static_argnames=("k", "approx"))
-def _block_topk(block: jax.Array, start: jax.Array, min_sim: jax.Array, k: int, approx: bool):
-    """Threshold + self-mask + top-k for one (tile, n_items) block."""
+@partial(jax.jit, static_argnames=("k", "approx", "compact"))
+def _block_topk(
+    block: jax.Array, start: jax.Array, min_sim: jax.Array, k: int, approx: bool, compact: bool = False
+):
+    """Threshold + self-mask + top-k for one (tile, n_items) block.
+
+    ``compact`` returns (f16 sims, u16 indices when the catalog fits) — the
+    (n_items, K) table readback is 13.8 MB at the ML-20M shape and the
+    remote-device transfer runs at ~6-38 MB/s, so halving the bytes is worth
+    ~0.5 s of build time; f16 keeps 10 mantissa bits (finer than the bf16
+    Gram that feeds it)."""
     row_ids = start.astype(jnp.int32) + jax.lax.broadcasted_iota(jnp.int32, (block.shape[0], 1), 0)[:, 0]
     cols = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
     self_mask = cols == row_ids[:, None]
     block = jnp.where(self_mask | (block < min_sim), 0.0, block)
     sims, idx = _topk(block, k, approx)
+    if compact:
+        idt = jnp.uint16 if block.shape[1] <= 65536 else jnp.int32
+        return sims.astype(jnp.float16), idx.astype(idt)
     return sims, idx.astype(jnp.int32)
 
 
-def _tile_topk_at(S: jax.Array, start: jax.Array, min_sim: jax.Array, k: int, tile: int, approx: bool = False):
+def _tile_topk_at(
+    S: jax.Array, start: jax.Array, min_sim: jax.Array, k: int, tile: int, approx: bool = False, compact: bool = False
+):
     block = _slice_rows_at(S, start, tile)
-    return _block_topk(block, start, min_sim, k, approx)
+    return _block_topk(block, start, min_sim, k, approx, compact)
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -194,6 +247,89 @@ def _gram_accum_sparse(
     dt = jnp.bfloat16 if bf16 else jnp.float32
     U = jnp.zeros((n_rows, n_cols), dtype=dt)
     U = U.at[rel_rows, cols].set(vals.astype(dt), mode="drop")
+    return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("user_chunk", "n_items", "nnz_pad", "bf16"))
+def _gram_accum_resident(
+    S: jax.Array,
+    colind: jax.Array,  # (nnz + nnz_pad,) uint16 — resident user-major columns (zero-padded tail)
+    rowptr: jax.Array,  # (n_users_pad + 1,) int32 — resident, final value repeated past n_users
+    row_of: jax.Array,  # (nnz + nnz_pad,) int32 — resident per-entry row index
+    scale: jax.Array,  # (n_items,) f32 per-item value (row-constant matrices)
+    ulo,  # traced int32 scalar: first user of this chunk
+    *,
+    user_chunk: int,
+    n_items: int,
+    nnz_pad: int,
+    bf16: bool,
+) -> jax.Array:
+    """Zero-upload Gram chunk: everything (structure, values) is derived on
+    device from the resident CSR.  The relative row of each entry comes from
+    a vectorized binary search over the chunk's row-pointer window — the
+    host ships nothing per chunk (vs 4-6 bytes/nnz for the packed forms).
+
+    The resident buffers are padded at upload so the ``dynamic_slice`` below
+    never clamps (which would misalign positions): ``colind`` and ``row_of``
+    by ``nnz_pad`` entries, ``rowptr`` by repeating its final value
+    ``user_chunk`` times."""
+    s = rowptr[ulo]
+    e = rowptr[ulo + user_chunk]
+    seg_cols = jax.lax.dynamic_slice(colind, (s,), (nnz_pad,)).astype(jnp.int32)
+    pos = s + jnp.arange(nnz_pad, dtype=jnp.int32)
+    valid = pos < e
+    seg_row = jax.lax.dynamic_slice(row_of, (s,), (nnz_pad,))
+    rel = jnp.where(valid, seg_row - ulo, user_chunk)  # OOB -> dropped
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    U = jnp.zeros((user_chunk, n_items), dtype=dt)
+    U = U.at[rel, seg_cols].set(scale[seg_cols].astype(dt), mode="drop")
+    return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("nnz", "pad"))
+def _row_of_entries(rowptr_core, nnz: int, pad: int):
+    """Per-entry row index of a CSR: +1 scatter at each row start, cumsum —
+    one O(nnz) pass, computed ONCE per build (a per-chunk binary search cost
+    ~0.8 s/chunk at ML-20M scale: 17 gather rounds over 9M positions)."""
+    marks = jnp.zeros((nnz + pad,), jnp.int32).at[rowptr_core].add(1, mode="drop")
+    return jnp.cumsum(marks)
+
+
+_resident_struct: dict = {}
+
+_i32_cache: dict = {}
+
+
+def _i32_dev(x: int) -> jax.Array:
+    """Device-resident int32 scalar cached by value (chunk offsets repeat
+    across builds; a fresh ``jnp.int32`` would cost an upload each)."""
+    hit = _i32_cache.get(x)
+    if hit is None:
+        if len(_i32_cache) > 512:
+            _i32_cache.clear()
+        hit = _i32_cache[x] = jnp.int32(x)
+    return hit
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n_rows", "n_cols", "bf16"))
+def _gram_accum_packed2(
+    S: jax.Array,
+    buf: jax.Array,  # (nnz_pad, 2) uint16: [rel_row, col]
+    scale: jax.Array,  # (n_cols,) f32 — per-item value (row-constant matrices)
+    n_rows: int,
+    n_cols: int,
+    bf16: bool = True,
+) -> jax.Array:
+    """Structure-only transfer form of :func:`_gram_accum_sparse` for
+    matrices whose values are constant per ITEM (the implicit-feedback case:
+    every entry of item i is its normalization 1/||i||): ship only
+    [rel_row, col] uint16 pairs — 4 bytes/nnz, 2/3 of the packed triple —
+    and gather the value from a device-resident per-item scale vector."""
+    rel = buf[:, 0].astype(jnp.int32)
+    cols = buf[:, 1].astype(jnp.int32)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    U = jnp.zeros((n_rows, n_cols), dtype=dt)
+    U = U.at[rel, cols].set(scale[cols].astype(dt), mode="drop")
     return S + jnp.dot(U.T, U, preferred_element_type=jnp.float32)
 
 
@@ -277,6 +413,8 @@ def similarity_topk(
     approx: bool | None = None,
     recall_validate: bool = True,
     bf16: bool | None = None,
+    user_major: CSR | None = None,
+    timings: dict | None = None,
 ) -> NeighborTable:
     """
     Top-K thresholded cosine similarity (reference: item_train.rs:95).
@@ -310,7 +448,7 @@ def similarity_topk(
 
     tile = min(tile, n_items)
 
-    def run_tiles(fn, *args, approx_flag=None):
+    def run_tiles(fn, *args, approx_flag=None, compact=False):
         """Iterate tiles with a traced start offset (single compiled program);
         the final tile overlaps backward to keep the shape static.  All tile
         programs enqueue ASYNC, then one readback pass — per-tile syncs cost
@@ -321,7 +459,9 @@ def similarity_topk(
         pending = []
         for lo in range(0, n_items, tile):
             start = min(lo, n_items - tile)
-            sims, idx = fn(*args, jnp.int32(start), min_sim_j, k, tile, af)
+            sims, idx = fn(*args, _i32_dev(start), min_sim_j, k, tile, af, compact)
+            sims.copy_to_host_async()
+            idx.copy_to_host_async()
             pending.append((lo, start, sims, idx))
         for lo, start, sims, idx in pending:
             off = lo - start
@@ -351,7 +491,7 @@ def similarity_topk(
     dense_bytes = n_items * n_users * 4
     if dense_bytes <= max_dense_bytes:
         A = jnp.asarray(_host_densify(iu_csr, 0, n_items))  # (n_items, n_users)
-        fn = lambda A, s, m, k, t, af: _matmul_topk_at(A, s, m, k=k, tile=t, approx=af)
+        fn = lambda A, s, m, k, t, af, cp=False: _matmul_topk_at(A, s, m, k=k, tile=t, approx=af)
         run_tiles(fn, A)
         if not check_recall(fn, A):
             run_tiles(fn, A, approx_flag=False)
@@ -361,40 +501,123 @@ def similarity_topk(
         # Chunks are EQUALIZED (ceil split) — a budget-sized final chunk can
         # be half empty, and the dense slab matmul pays for its full shape
         # (measured ~15% of the 27k Gram on the ragged split).
-        budget_chunk = max(max_dense_bytes // (n_items * 4), 1024)
-        n_chunks = max(-(-n_users // budget_chunk), 1)
-        user_chunk = -(-n_users // n_chunks)
-        ui_csr = iu_csr.transpose()  # user-major
-        chunks = []
-        for ulo in range(0, n_users, user_chunk):
-            uhi = min(ulo + user_chunk, n_users)
-            s, e = int(ui_csr.rowptr[ulo]), int(ui_csr.rowptr[uhi])
-            lens = (ui_csr.rowptr[ulo + 1 : uhi + 1] - ui_csr.rowptr[ulo:uhi]).astype(np.int64)
-            rel = np.repeat(np.arange(uhi - ulo, dtype=np.int32), lens)
-            chunks.append((rel, ui_csr.colind[s:e], ui_csr.values[s:e] if ui_csr.values is not None else np.ones(e - s, np.float32)))
-        # pad to a shared width at 1/8-step granularity (pow2 padding wasted
-        # ~17% of the transfer on the ML-20M shape)
-        nnz_max = max(len(c[0]) for c in chunks)
-        step = max(_pad_pow2(nnz_max) // 8, 8)
-        nnz_pad = -(-nnz_max // step) * step
         if bf16 is None:
             # default bf16 only where the recall validation below actually
             # runs (the approx path); without it bf16 rounding would be
             # unguarded — callers can still force bf16=True explicitly
             bf16 = knn_bf16_default() and approx and recall_validate
+        # the dense slab is bf16 on the fast path — budget twice the users
+        # per chunk (fewer, larger MXU matmuls, fewer sync points)
+        slab_bytes = 2 if bf16 else 4
+        budget_chunk = max(max_dense_bytes // (n_items * slab_bytes), 1024)
+        n_chunks = max(-(-n_users // budget_chunk), 1)
+        user_chunk = -(-n_users // n_chunks)
+        import time as _time
+
+        t_p = _time.perf_counter()
+        # row-constant values (implicit feedback: every entry of item i is
+        # its normalization 1/||i||) need no value transfer at all — the
+        # per-item scale vector lives on device and values are gathered there
+        packed_ok = bf16 and n_items < 65_535 and user_chunk < 65_535
+        col_scale = None
+        if packed_ok:
+            col_scale = _get_row_scale(iu_csr)  # normalize fast path
+        if packed_ok and col_scale is None and iu_csr.values is not None:
+            lens_i = np.diff(iu_csr.rowptr)
+            first = np.zeros(n_items, dtype=np.float32)
+            nz_rows = lens_i > 0
+            first[nz_rows] = iu_csr.values[iu_csr.rowptr[:-1][nz_rows]]
+            if np.array_equal(iu_csr.values, np.repeat(first, lens_i)):
+                col_scale = first
+        scale_dev = None if col_scale is None else jnp.asarray(col_scale)
+
+        # fully-resident path: when the caller supplies the (stable)
+        # user-major structure and values are row-constant, upload colind
+        # (uint16) + rowptr once and derive every chunk ON DEVICE — no host
+        # transpose, no per-chunk packing, ~2 bytes/nnz of total transfer
+        # (the r4 build spent 2.1-3.4 s on host prep + 80-120 MB of chunk
+        # shipments at the same shape)
+        resident = (
+            col_scale is not None
+            and user_major is not None
+            and user_major.nnz == iu_csr.nnz
+            and user_major.nrows == n_users
+        )
+        ui_csr = None
+        chunks: list = []
+        if resident:
+            cached = _resident_struct.get(id(user_major))
+            if cached is not None and cached[0]() is user_major and cached[1] == user_chunk:
+                _, _, col_res, rp_res, row_of, nnz_pad = cached
+            else:
+                rp32 = user_major.rowptr.astype(np.int32)
+                nnz_max = int(
+                    np.max(
+                        [
+                            rp32[min(u + user_chunk, n_users)] - rp32[u]
+                            for u in range(0, n_users, user_chunk)
+                        ]
+                    )
+                )
+                step = max(_pad_pow2(nnz_max) // 8, 8)
+                nnz_pad = -(-nnz_max // step) * step
+                # pad so device-side dynamic slices never clamp (see kernel doc)
+                col_res = jnp.asarray(
+                    np.pad(user_major.colind.astype(np.uint16), (0, nnz_pad))
+                )
+                rp_res = jnp.asarray(np.pad(rp32, (0, user_chunk), mode="edge"))
+                row_of = _row_of_entries(jnp.asarray(rp32[1:-1]), int(user_major.nnz), nnz_pad)
+                # the structure is immutable and device-resident by design
+                # (same policy as serving's resident CSR): rebuilds over the
+                # same matrix — tuning sweeps, config grids — skip the upload
+                import weakref
+
+                key = id(user_major)
+                try:
+                    ref = weakref.ref(user_major, lambda _r, k=key: _resident_struct.pop(k, None))
+                except TypeError:  # pragma: no cover
+
+                    def ref(um=user_major):
+                        return um
+
+                while len(_resident_struct) >= 4:
+                    _resident_struct.pop(next(iter(_resident_struct)))
+                _resident_struct[key] = (ref, user_chunk, col_res, rp_res, row_of, nnz_pad)
+            chunk_starts = list(range(0, n_users, user_chunk))
+        else:
+            # NOTE: user_major carries RAW values; the general path needs the
+            # normalized ones, so it always transposes iu_csr itself
+            ui_csr = iu_csr.transpose()
+            for ulo in range(0, n_users, user_chunk):
+                uhi = min(ulo + user_chunk, n_users)
+                s, e = int(ui_csr.rowptr[ulo]), int(ui_csr.rowptr[uhi])
+                lens = (ui_csr.rowptr[ulo + 1 : uhi + 1] - ui_csr.rowptr[ulo:uhi]).astype(np.int64)
+                rel = np.repeat(np.arange(uhi - ulo, dtype=np.int32), lens)
+                chunks.append((rel, ui_csr.colind[s:e], ui_csr.values[s:e] if ui_csr.values is not None else np.ones(e - s, np.float32)))
+            # pad to a shared width at 1/8-step granularity (pow2 padding
+            # wasted ~17% of the transfer on the ML-20M shape)
+            nnz_max = max(len(c[0]) for c in chunks)
+            step = max(_pad_pow2(nnz_max) // 8, 8)
+            nnz_pad = -(-nnz_max // step) * step
         # pack each chunk into ONE device buffer when indices fit uint16
         # (catalogs < 64k items): [rel, col, val-as-bf16-bits] — HALF the
-        # bytes and a third of the per-transfer round-trips of three f32/i32
-        # arrays (the transfer phase measured 2.9 s of the 7.2 s build);
-        # transfers are NOT pre-synced — each Gram step starts as soon as
-        # its chunk lands, overlapping the remaining transfers
-        packed = bf16 and n_items < 65_535 and user_chunk < 65_535
+        # bytes and a third of the host→device round-trips of three f32/i32
+        # arrays; transfers are NOT pre-synced — each Gram step starts as
+        # soon as its chunk lands, overlapping the remaining transfers
+        packed = packed_ok
+        if timings is not None:
+            timings["prep_s"] = _time.perf_counter() - t_p
 
         def ship_one(c, use_packed: bool):
             rel, cc, vv = c
             pad = nnz_pad - len(rel)
             rel = np.pad(rel, (0, pad), constant_values=user_chunk)  # OOB -> dropped
             cc = np.pad(cc, (0, pad))
+            if use_packed and scale_dev is not None:
+                buf = np.empty((nnz_pad, 2), dtype=np.uint16)
+                buf[:, 0] = rel
+                buf[:, 1] = cc
+                return (jnp.asarray(buf),)
             vv = np.pad(vv, (0, pad)).astype(np.float32)
             if use_packed:
                 buf = np.empty((nnz_pad, 3), dtype=np.uint16)
@@ -408,6 +631,27 @@ def similarity_topk(
             return (jnp.asarray(rel), jnp.asarray(cc), jnp.asarray(vv))
 
         def build_gram(use_bf16: bool):
+            if resident:
+                # one program, zero per-chunk transfer; chunk scalars hit the
+                # _i32_dev cache after the first build of this shape
+                S = jnp.zeros((n_items, n_items), dtype=jnp.float32)
+                for ulo in chunk_starts:
+                    S = _gram_accum_resident(
+                        S,
+                        col_res,
+                        rp_res,
+                        row_of,
+                        scale_dev,
+                        _i32_dev(ulo),
+                        user_chunk=user_chunk,
+                        n_items=n_items,
+                        nnz_pad=nnz_pad,
+                        bf16=use_bf16,
+                    )
+                    # sync per chunk: deep queues of donated multi-GB
+                    # programs thrashed the remote backend (round-2 note)
+                    jax.block_until_ready(S)
+                return S
             # a packed (bf16-valued) shipment cannot serve an f32 rebuild —
             # re-ship the chunks as full f32 arrays in that case.  Host
             # packing of chunk c+1 overlaps the device's Gram of chunk c
@@ -419,7 +663,9 @@ def similarity_topk(
             for c in chunks + [None]:
                 if pending is not None:
                     t = pending
-                    if len(t) == 1:
+                    if len(t) == 1 and t[0].shape[1] == 2:
+                        S = _gram_accum_packed2(S, t[0], scale_dev, user_chunk, n_items, use_bf16)
+                    elif len(t) == 1:
                         S = _gram_accum_packed(S, t[0], user_chunk, n_items, use_bf16)
                     else:
                         S = _gram_accum_sparse(S, t[0], t[1], t[2], user_chunk, n_items, use_bf16)
@@ -436,9 +682,15 @@ def similarity_topk(
             jax.block_until_ready(S)
             return S
 
+        t_g = _time.perf_counter()
         S = build_gram(bf16)
-        fn = lambda S, s, m, k, t, af: _tile_topk_at(S, s, m, k=k, tile=t, approx=af)
-        run_tiles(fn, S)
+        if timings is not None:
+            timings["gram_s"] = _time.perf_counter() - t_g
+        t_t = _time.perf_counter()
+        fn = lambda S, s, m, k, t, af, cp=False: _tile_topk_at(S, s, m, k=k, tile=t, approx=af, compact=cp)
+        run_tiles(fn, S, compact=bool(bf16))
+        if timings is not None:
+            timings["topk_s"] = _time.perf_counter() - t_t
         if not check_recall(fn, S):
             # rebuild exactly: f32 Gram (bf16 rounding is invalidated too,
             # ADVICE r3) + exact top-k tiles.  The failed S is DROPPED

@@ -177,3 +177,84 @@ def test_gram_path_packed_transfer_matches():
         _gram_accum_sparse(S1, jnp.asarray(rel), jnp.asarray(cols), jnp.asarray(vals_bf), n_rows, n_cols, True)
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_gram_path_packed2_structure_only_matches():
+    """The structure-only [rel, col] uint16 shipment with a resident per-item
+    scale must accumulate the same Gram as the three-array form with
+    values = scale[col] (the implicit-feedback case)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from lkpy_tpu.ops.knn import _gram_accum_packed2, _gram_accum_sparse
+
+    rng = np.random.default_rng(7)
+    n_rows, n_cols, nnz = 48, 40, 400
+    rel = rng.integers(0, n_rows + 1, nnz).astype(np.int64)  # includes OOB pads
+    cols = rng.integers(0, n_cols, nnz).astype(np.int64)
+    keys = np.unique(rel * n_cols + cols)
+    rel = (keys // n_cols).astype(np.int32)
+    cols = (keys % n_cols).astype(np.int32)
+    scale = rng.uniform(0.05, 1.0, n_cols).astype(np.float32)
+    vals_bf = scale[cols].astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    buf = np.empty((len(keys), 2), dtype=np.uint16)
+    buf[:, 0] = rel
+    buf[:, 1] = cols
+    S0 = jnp.zeros((n_cols, n_cols), jnp.float32)
+    got = np.asarray(
+        _gram_accum_packed2(S0, jnp.asarray(buf), jnp.asarray(scale), n_rows, n_cols, True)
+    )
+    S1 = jnp.zeros((n_cols, n_cols), jnp.float32)
+    want = np.asarray(
+        _gram_accum_sparse(
+            S1, jnp.asarray(rel), jnp.asarray(cols), jnp.asarray(vals_bf), n_rows, n_cols, True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_similarity_gram_structure_only_end_to_end(monkeypatch):
+    """Force the Gram path with the structure-only packed shipment (implicit
+    normalization => row-constant values) and check against the oracle."""
+    monkeypatch.setenv("LKT_KNN_BF16_GRAM", "1")
+    rng = np.random.default_rng(5)
+    mat = sps.random(60, 80, density=0.25, random_state=5, format="csr")
+    mat.data = np.ones(mat.nnz, dtype=np.float32)
+    csr = CSR.from_scipy(mat)
+    normed, means = knn_ops.normalize_item_matrix(csr, explicit=False)
+    assert means is None
+    # tiny dense budget forces the Gram-accumulation path; approx=False keeps
+    # exact top-k so the oracle comparison is strict up to bf16 rounding
+    table = knn_ops.similarity_topk(
+        normed, 8, 1e-6, tile=16, max_dense_bytes=60 * 80, approx=False, bf16=True
+    )
+    oidx, osims = oracle_similarity(normed, 8, 1e-6)
+    np.testing.assert_allclose(table.sims, osims, atol=5e-3)
+
+
+def test_similarity_gram_resident_path_matches(monkeypatch):
+    """The fully-resident Gram path (user_major structure on device, rel rows
+    derived by on-device binary search) must match the oracle."""
+    monkeypatch.setenv("LKT_KNN_BF16_GRAM", "1")
+    rng = np.random.default_rng(11)
+    mat = sps.random(80, 50, density=0.2, random_state=11, format="csr")  # users x items
+    mat.data = np.ones(mat.nnz, dtype=np.float32)
+    ui = CSR.from_scipy(mat)
+    iu = ui.transpose()
+    if iu.values is None:
+        iu = iu.with_values(np.ones(iu.nnz, dtype=np.float32))
+    normed, _ = knn_ops.normalize_item_matrix(iu, explicit=False)
+    table = knn_ops.similarity_topk(
+        normed, 8, 1e-6, tile=16, max_dense_bytes=50 * 30, approx=False, bf16=True,
+        user_major=ui,
+    )
+    oidx, osims = oracle_similarity(normed, 8, 1e-6)
+    np.testing.assert_allclose(table.sims, osims, atol=5e-3)
+    # sanity: the resident path really was eligible (row-constant + structure)
+    tm: dict = {}
+    knn_ops.similarity_topk(
+        normed, 8, 1e-6, tile=16, max_dense_bytes=50 * 30, approx=False, bf16=True,
+        user_major=ui, timings=tm,
+    )
+    assert "gram_s" in tm
