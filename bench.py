@@ -46,6 +46,11 @@ CPU_BASELINE_EXAMPLES_PER_S = 3.497e6
 CPU_BASELINE_THREADS = 2
 CPU_BASELINE_NDCG10 = 0.2097  # C++ baseline factors (10 epochs), same split + eval code
 CPU_BASELINE_KNN_BUILD_S = 15.0  # cpp/knn_cpu_baseline.cpp, 27k items k=64
+# torch-CPU ports of the reference's gradient trainers, 2 threads, same
+# synth set (benchmarks/_measure_gradient_cpu_baseline.py; reference:
+# src/lenskit/flexmf/_training.py:39, src/lenskit/graphs/lightgcn.py:312)
+CPU_BASELINE_FLEXMF_BPR = 4.833e5
+CPU_BASELINE_LIGHTGCN = 5.356e3
 
 #: v5e (TPU v5 lite) MXU peaks, per chip
 V5E_PEAK_BF16_TFS = 197.0
@@ -518,7 +523,8 @@ def main():
     )
     log(
         f"FlexMF-BPR train: {flexmf_exps:.3e} examples/s/chip "
-        f"(epoch {flexmf_epoch_s:.2f}s, warm {flexmf_warm_s:.1f}s); NDCG@10 after 5 epochs {nd_f:.4f}"
+        f"({flexmf_exps / CPU_BASELINE_FLEXMF_BPR:.1f}x the 2-thread torch-CPU baseline; "
+        f"epoch {flexmf_epoch_s:.2f}s, warm {flexmf_warm_s:.1f}s); NDCG@10 after 5 epochs {nd_f:.4f}"
     )
 
     from lkpy_tpu.models.lightgcn import LightGCNScorer
@@ -536,7 +542,8 @@ def main():
     lightgcn_exps = nnz / lightgcn_epoch_s
     log(
         f"LightGCN train: {lightgcn_exps:.3e} examples/s/chip "
-        f"(epoch {lightgcn_epoch_s:.2f}s, warm {lightgcn_warm_s:.1f}s, 2 conv layers)"
+        f"({lightgcn_exps / CPU_BASELINE_LIGHTGCN:.0f}x the 2-thread torch-CPU baseline; "
+        f"epoch {lightgcn_epoch_s:.2f}s, warm {lightgcn_warm_s:.1f}s, 2 conv layers)"
     )
 
     print(
@@ -581,8 +588,10 @@ def main():
                     "als_explicit_rmse_ml_small": rmse_real,
                     "als_explicit_ndcg20_ml_small": ndcg_real,
                     "flexmf_bpr_train_examples_per_s_per_chip": round(flexmf_exps, 1),
+                    "flexmf_bpr_vs_cpu_baseline": round(flexmf_exps / CPU_BASELINE_FLEXMF_BPR, 2),
                     "flexmf_bpr_ndcg_at_10_5_epochs": round(nd_f, 4),
                     "lightgcn_train_examples_per_s_per_chip": round(lightgcn_exps, 1),
+                    "lightgcn_vs_cpu_baseline": round(lightgcn_exps / CPU_BASELINE_LIGHTGCN, 2),
                 },
             }
         )
