@@ -150,9 +150,11 @@ class LightGCNTrainer(ModelTrainer):
         # big graphs propagate through a dense bf16 adjacency on the MXU
         # (ops/graph.py); small graphs keep the segment-sum form
         self._adj = None
-        if dense_adjacency_eligible(len(coo.row), self.nu_pad, self.ni_pad):
+        if dense_adjacency_eligible(len(coo.row), self.nu_pad, self.ni_pad, mesh=self.mesh):
+            # with a mesh, the adjacency row-shards over the 'model' axis —
+            # catalogs past single-chip HBM still propagate on the MXU
             self._adj = build_dense_adjacency(
-                self.conv[0], self.conv[1], self.conv[2], self.nu_pad, self.ni_pad
+                self.conv[0], self.conv[1], self.conv[2], self.nu_pad, self.ni_pad, mesh=self.mesh
             )
         self.blend = jnp.asarray(self.config.blend_weights())
 

@@ -176,33 +176,60 @@ def propagate(u, i, conv, blend):
     return u_acc, i_acc
 
 
-def dense_adjacency_eligible(nnz: int, n_users: int, n_items: int) -> bool:
+def dense_adjacency_eligible(nnz: int, n_users: int, n_items: int, mesh=None) -> bool:
     """True when a graph should propagate through the dense bf16 adjacency:
     TPU backend, enough edges for the scatter cost to matter, and the
-    (tile-aligned) dense matrix within the HBM budget."""
+    (tile-aligned) dense matrix within the *per-device* HBM budget.
+
+    With a mesh, the adjacency row-shards over the ``model`` axis
+    (:func:`build_dense_adjacency`), so a catalog whose dense matrix is
+    ``d_model``× the single-chip budget still propagates on the MXU instead
+    of falling back to the ~30× slower segment-sum SpMM."""
+    d = 1
+    if mesh is not None and "model" in mesh.shape:
+        d = mesh.shape["model"]
     return (
         jax.default_backend() == "tpu"
         and nnz >= _DENSE_ADJ_MIN_EDGES
-        and n_users * n_items * 2 <= _DENSE_ADJ_MAX_BYTES
+        and n_users * n_items * 2 <= _DENSE_ADJ_MAX_BYTES * d
     )
 
 
-@partial(jax.jit, static_argnames=("nu", "ni"))
-def _build_adj(rows, cols, vals, nu, ni):
+def _build_adj_core(rows, cols, vals, nu, ni):
     return jnp.zeros((nu, ni), jnp.bfloat16).at[rows, cols].set(vals.astype(jnp.bfloat16))
 
 
-def build_dense_adjacency(rows, cols, vals, n_users: int, n_items: int):
+_build_adj = jax.jit(_build_adj_core, static_argnames=("nu", "ni"))
+
+
+def build_dense_adjacency(rows, cols, vals, n_users: int, n_items: int, mesh=None):
     """Dense bf16 adjacency with TILE-ALIGNED dims (16×128 for bf16).
 
     The build MUST be jit-compiled: an eager scatter returns a buffer in a
     non-canonical layout, and every later matmul then relayouts the
     multi-GB operand (HBM OOM); a compiled program's output uses the
     canonical layout.  Unaligned dims force the same relayout copy.
+
+    With a mesh, the rows (users) shard over the ``model`` axis — each
+    device holds a ``(nu_al / d_model, ni_al)`` tile-aligned block, and
+    under ``jit`` GSPMD partitions :func:`propagate_dense` accordingly:
+    ``adj @ i`` is a purely local matmul (row-sharded result), and
+    ``adjᵀ @ u`` contracts the sharded axis, inserting one all-reduce of
+    the small ``(ni, k)`` result per layer.
     """
-    nu_al = -(-n_users // 16) * 16
+    nu_mult = 16
     ni_al = -(-n_items // 128) * 128
-    return _build_adj(rows, cols, vals, nu_al, ni_al)
+    if mesh is not None and "model" in mesh.shape:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = mesh.shape["model"]
+        nu_mult = 16 * d  # every shard stays sublane-aligned
+        nu_al = -(-n_users // nu_mult) * nu_mult
+        shard = NamedSharding(mesh, P("model", None))
+        build = jax.jit(_build_adj_core, static_argnames=("nu", "ni"), out_shardings=shard)
+        return build(rows, cols, vals, nu=nu_al, ni=ni_al)
+    nu_al = -(-n_users // nu_mult) * nu_mult
+    return _build_adj(rows, cols, vals, nu=nu_al, ni=ni_al)
 
 
 def sorted_conv(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, nu: int, ni: int):

@@ -66,3 +66,54 @@ def test_chunked_spmm_matches_segment_sum():
         gr._SPMM_CHUNK_MIN, gr._SPMM_CHUNK = old_min, old_chunk
     np.testing.assert_allclose(np.asarray(chunk_u), np.asarray(dense_u), atol=1e-5)
     np.testing.assert_allclose(np.asarray(chunk_i), np.asarray(dense_i), atol=1e-5)
+
+
+def test_dense_adjacency_sharded_matches_segment_sum():
+    """Mesh-sharded dense bf16 adjacency propagation (rows sharded over the
+    'model' axis; VERDICT r4 #5) must match the segment-sum propagate at a
+    shape where the single-device budget would be exceeded (per-device
+    block = 1/d of the full adjacency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lkpy_tpu.ops import graph as lg
+    from lkpy_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    rng = np.random.default_rng(7)
+    nu, ni, nnz, k = 96, 130, 600, 8
+    rows = rng.integers(0, nu, nnz).astype(np.int32)
+    cols = rng.integers(0, ni, nnz).astype(np.int32)
+    key = np.unique(rows.astype(np.int64) * ni + cols)
+    rows = (key // ni).astype(np.int32)
+    cols = (key % ni).astype(np.int32)
+    vals = rng.uniform(0.1, 1.0, len(rows)).astype(np.float32)
+    u = rng.standard_normal((nu, k)).astype(np.float32)
+    i = rng.standard_normal((ni, k)).astype(np.float32)
+    blend = jnp.asarray([0.4, 0.3, 0.3], jnp.float32)
+
+    # oracle: bf16-rounded segment-sum propagate (the dense path quantizes
+    # the adjacency to bf16, so the reference uses the same rounded values)
+    vals_bf = vals.astype(jnp.bfloat16).astype(np.float32)
+    conv = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals_bf), nu, ni)
+    want_u, want_i = lg.propagate(jnp.asarray(u), jnp.asarray(i), conv, blend)
+
+    adj = lg.build_dense_adjacency(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), nu, ni, mesh=mesh
+    )
+    d = mesh.shape["model"]
+    assert adj.shape[0] % (16 * d) == 0
+    # every device holds a (nu_al/d, ni_al) block
+    assert len(adj.sharding.device_set) == mesh.devices.size
+
+    prop = jax.jit(lg.propagate_dense, static_argnames=())
+    got_u, got_i = prop(jnp.asarray(u), jnp.asarray(i), adj, blend)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i), atol=2e-2, rtol=2e-2)
+
+    # and the sharded form equals the UNSHARDED dense form exactly
+    adj1 = lg.build_dense_adjacency(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), nu, ni)
+    ref_u, ref_i = prop(jnp.asarray(u), jnp.asarray(i), adj1, blend)
+    pad = adj.shape[0] - adj1.shape[0]
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i), atol=1e-5)
