@@ -101,6 +101,30 @@ class ServingSettings(BaseModel):
     scores; ``"auto"`` (default) uses f16 on TPU backends only."""
 
 
+class TrainingPerfSettings(BaseModel):
+    """Training-performance policy knobs (no reference analog — the
+    reference's kernels are ahead-of-time-compiled Rust).
+
+    ``ladder_ratio`` sets the bucket-width ladder for the ALS epoch
+    programs: finer ladders pad less (each padded slot costs a factor-row
+    gather, the epoch bottleneck) but compile/load more programs — the
+    dominant cold-start cost on remote (tunneled) backends where each
+    program load costs ~5 s.  Measured on the ML-20M bench shape
+    (benchmarks/probe_ladder.py, v5e):
+
+    =======  =========  =========  ==============  ==============
+    ratio    programs   occupancy  cold load       throughput
+    =======  =========  =========  ==============  ==============
+    1.35     25         0.836      ~128 s          175 M ex/s
+    2.0      13         0.734      ~63 s           152 M ex/s
+    =======  =========  =========  ==============  ==============
+
+    The default keeps steady-state throughput; set 2.0 (or larger) for
+    interactive/cold-start-sensitive deployments."""
+
+    ladder_ratio: float = 1.35
+
+
 class Settings(BaseModel):
     """Root settings (reference: schemas/settings.py:218)."""
 
@@ -110,6 +134,7 @@ class Settings(BaseModel):
     prometheus: PrometheusSettings = Field(default_factory=PrometheusSettings)
     compile_cache: CompileCacheSettings = Field(default_factory=CompileCacheSettings)
     serving: ServingSettings = Field(default_factory=ServingSettings)
+    training_perf: TrainingPerfSettings = Field(default_factory=TrainingPerfSettings)
     data_dir: str | None = None
 
 

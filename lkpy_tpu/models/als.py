@@ -207,11 +207,15 @@ class ALSTrainerBase(ModelTrainer):
         # bucket-width scan body compiles exactly once.  With a mesh, chunk
         # batches shard over the 'data' axis (the TPU form of the reference's
         # rayon row parallelism, src/accel/als/explicit.rs:62).
-        # ratio-1.5 width ladder: every padded slot costs a factor-row gather
-        # (the epoch bottleneck, ~3.5 ns/row); the finer ladder lifts padding
-        # occupancy 0.73 -> ~0.86 on ML-20M for ~50% more (cached) programs
-        self.u_buckets = als_ops.chunk_buckets(bucket_rows(ui_csr, field="rating", ratio=1.35), mesh=self.mesh)
-        self.i_buckets = als_ops.chunk_buckets(bucket_rows(iu_csr, field="rating", ratio=1.35), mesh=self.mesh)
+        # width ladder: every padded slot costs a factor-row gather (the
+        # epoch bottleneck, ~3.5 ns/row); finer ladders lift occupancy but
+        # compile/load more programs — the measured trade-off table and the
+        # cold-start escape hatch live on TrainingPerfSettings.ladder_ratio
+        from lkpy_tpu.config import lkpy_tpu_config
+
+        ratio = lkpy_tpu_config().training_perf.ladder_ratio
+        self.u_buckets = als_ops.chunk_buckets(bucket_rows(ui_csr, field="rating", ratio=ratio), mesh=self.mesh)
+        self.i_buckets = als_ops.chunk_buckets(bucket_rows(iu_csr, field="rating", ratio=ratio), mesh=self.mesh)
 
         k = self.config.embedding_size
         self.u_factors = self._place(self.initial_params(ui_csr.nrows, k))

@@ -39,3 +39,23 @@ def test_embedding_size_exp():
 
     cfg = FlexMFImplicitConfig.model_validate({"embedding_size_exp": 6})
     assert cfg.embedding_size == 64
+
+
+def test_training_perf_ladder_ratio():
+    assert lkpy_tpu_config().training_perf.ladder_ratio == 1.35
+    with configure(training_perf={"ladder_ratio": 2.0}):
+        assert lkpy_tpu_config().training_perf.ladder_ratio == 2.0
+
+
+def test_ladder_ratio_reaches_als_trainer(ml_ds):
+    """The configured ladder ratio must change the ALS bucket program count."""
+    from lkpy_tpu.models.als import ImplicitMFScorer
+    from lkpy_tpu.training import TrainingOptions
+
+    def n_buckets(ratio):
+        with configure(training_perf={"ladder_ratio": ratio}):
+            s = ImplicitMFScorer(ImplicitMFScorer.validate_config({"features": 8, "epochs": 1}))
+            tr = s.create_trainer(ml_ds, TrainingOptions(rng=42))
+            return len(tr.u_buckets) + len(tr.i_buckets)
+
+    assert n_buckets(4.0) < n_buckets(1.2)
