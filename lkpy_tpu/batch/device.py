@@ -201,7 +201,8 @@ class PendingRecommend:
         from lkpy_tpu.data.collection import ArrayTopNILC
 
         scores_s, idx_s, order = self._pending.finalize()
-        user_ids, nums, n = self._user_ids, self._nums, self._n
+        user_ids, nums = self._user_ids, self._nums
+        n = idx_s.shape[1]  # may be < requested n for tiny catalogs
         N = len(user_ids)
         nums_out = np.zeros((N, n), np.int32)
         scores_out = np.full((N, n), -np.inf, np.float32)

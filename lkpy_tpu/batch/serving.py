@@ -366,6 +366,7 @@ def enqueue_serve(
     device->host copy; see :class:`PendingServe`."""
     trace: list = [] if timings is not None else None
     t0 = time.perf_counter()
+    n = min(n, n_items)  # catalogs smaller than the requested list length
     if method == "approx":
         # keep the inner scan sub-chunk MXU-sized
         block = max(block, 256) // 256 * 256
