@@ -79,9 +79,14 @@ class DeviceCSRIndex(NamedTuple):
         words = log2_bits = None
         if bloom:
             words, log2_bits = _build_bloom(csr.rowptr, csr.colind, csr.nrows)
+        colind = np.asarray(csr.colind)
+        if len(colind) == 0:
+            # a zero-size colind breaks the vectorized membership gathers;
+            # one -1 sentinel (matching no real column) keeps them total
+            colind = np.asarray([-1], dtype=np.int32)
         return cls(
             jnp.asarray(csr.rowptr, dtype=jnp.int32),
-            jnp.asarray(csr.colind, dtype=jnp.int32),
+            jnp.asarray(colind, dtype=jnp.int32),
             csr.nrows,
             csr.ncols,
             None if words is None else jnp.asarray(words),
