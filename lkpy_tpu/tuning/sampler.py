@@ -52,6 +52,9 @@ def _from_unit(dim: ParamSpace, u: float):
         v = math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
     else:
         v = lo + u * (hi - lo)
+    # the log-space round-trip can land an epsilon outside [lo, hi]; clamp
+    # so proposals always satisfy the declared bounds exactly
+    v = min(max(v, lo), hi)
     return int(round(v)) if dim.type == "int" else v
 
 

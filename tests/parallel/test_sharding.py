@@ -69,16 +69,37 @@ def test_sharded_als_matches_single(mesh):
 
 
 def test_graft_entry():
-    import importlib.util
+    """Run the flagship entry + full multichip dryrun in a SUBPROCESS: the
+    dryrun trains every sharded family end-to-end, and running it inside
+    the suite process (hundreds of live compiled programs + test state)
+    aborted the CPU backend with an OOM-class fatal error — isolation makes
+    the test about the code, not the suite's memory high-water mark."""
+    import os
+    import subprocess
     import sys
 
-    spec = importlib.util.spec_from_file_location("__graft_entry__", "/root/repo/__graft_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    fn, args = mod.entry()
-    out = jax.jit(fn)(*args)
-    assert out.shape == (16, 8)
-    mod.dryrun_multichip(8)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PYTHONPATH", None)
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import jax\n"
+        "import importlib.util\n"
+        "spec = importlib.util.spec_from_file_location('__graft_entry__', '/root/repo/__graft_entry__.py')\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        "fn, args = mod.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "assert out.shape == (16, 8)\n"
+        "mod.dryrun_multichip(8)\n"
+        "print('GRAFT_OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900, env=env
+    )
+    assert res.returncode == 0, f"graft entry failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+    assert "GRAFT_OK" in res.stdout
 
 
 def test_distributed_noop_single_host(monkeypatch):
