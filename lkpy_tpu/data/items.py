@@ -210,7 +210,10 @@ class ItemList:
         vocab = vocabulary if vocabulary is not None else self._vocab
         if vocab is None:
             raise RuntimeError("item list has no vocabulary")
-        if vocabulary is not None and self._vocab is not None and vocabulary is not self._vocab:
+        # an explicitly-passed vocabulary never touches the cache: caching
+        # its numbers would serve STALE numbers to a later call with a
+        # different vocabulary (found by tests/data/test_itemlist_property.py)
+        if vocabulary is not None and vocabulary is not self._vocab:
             nums = vocab.numbers(self.ids(), missing=missing)
         elif self._nums is None:
             nums = vocab.numbers(self._ids, missing=missing)

@@ -79,7 +79,7 @@ def test_vocabulary_number_resolution(il):
     ids = il.ids()
     vocab = Vocabulary(np.concatenate([ids, [10_001, 10_002]]))
     nums = il.numbers(vocabulary=vocab)
-    np.testing.assert_array_equal(vocab.ids(nums) if hasattr(vocab, "ids") else ids, ids)
+    np.testing.assert_array_equal(vocab.terms(nums), ids)
     # a vocabulary missing some ids
     small = Vocabulary(ids[: max(len(ids) // 2, 1)])
     got = il.numbers(vocabulary=small, missing="negative")
