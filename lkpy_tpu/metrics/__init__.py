@@ -4,6 +4,7 @@ Evaluation metrics (reference: src/lenskit/metrics/__init__.py).
 
 from lkpy_tpu.metrics._base import GlobalMetric, ListMetric, Metric, MetricFunction, RankingMetricBase
 from lkpy_tpu.metrics._weighting import GeometricRankWeight, LogRankWeight, RankWeight
+from lkpy_tpu.metrics.basic import ListLength, TestItemCount, UniqueItemCount
 from lkpy_tpu.metrics.collect import MeasurementCollector, RunAnalysis, RunAnalysisResult
 from lkpy_tpu.metrics.predict import MAE, RMSE, mae, rmse
 from lkpy_tpu.metrics.quick import QuickResults, quick_measure_model
@@ -35,6 +36,7 @@ __all__ = [
     "Hit",
     "ILS",
     "ListGini",
+    "ListLength",
     "ListMetric",
     "LogRankWeight",
     "MAE",
@@ -54,6 +56,8 @@ __all__ = [
     "RMSE",
     "RunAnalysis",
     "RunAnalysisResult",
+    "TestItemCount",
+    "UniqueItemCount",
     "least_item_promoted",
     "mae",
     "quick_measure_model",

@@ -1,0 +1,79 @@
+"""
+Basic bookkeeping metrics (reference: tests/eval/test_counts.py,
+src/lenskit/metrics/basic.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lkpy_tpu.data import ItemList, ItemListCollection
+from lkpy_tpu.metrics import ListLength, RunAnalysis, TestItemCount, UniqueItemCount
+
+
+def _ilc(lists: dict[int, list[int]]) -> ItemListCollection:
+    ilc = ItemListCollection(["user_id"])
+    for uid, items in lists.items():
+        ilc.add(ItemList(item_ids=np.asarray(items, dtype=np.int64), ordered=True), uid)
+    return ilc
+
+
+def test_list_length_per_list():
+    m = ListLength()
+    assert m.label == "N"
+    assert m.measure_list(ItemList(item_ids=[1, 2, 3]), ItemList(item_ids=[9])) == 3.0
+    assert m.measure_list(ItemList(item_ids=[]), ItemList(item_ids=[9])) == 0.0
+
+
+def test_test_item_count_per_list():
+    m = TestItemCount()
+    assert m.measure_list(ItemList(item_ids=[1]), ItemList(item_ids=[7, 8, 9])) == 3.0
+
+
+def test_unique_item_count_run():
+    outs = _ilc({1: [1, 2, 3], 2: [2, 3, 4], 3: [4, 5]})
+    m = UniqueItemCount()
+    assert m.measure_run(outs, outs) == 5.0
+
+
+def test_unique_item_count_string_ids():
+    ilc = ItemListCollection(["user_id"])
+    ilc.add(ItemList(item_ids=["a", "b"]), "u1")
+    ilc.add(ItemList(item_ids=["b", "c"]), "u2")
+    assert UniqueItemCount().measure_run(ilc, ilc) == 3.0
+
+
+def test_run_analysis_integration():
+    outs = _ilc({1: [1, 2, 3], 2: [4, 5], 3: [6]})
+    test = _ilc({1: [2, 9], 2: [5], 3: [7, 8, 9]})
+    ra = RunAnalysis()
+    ra.add_metric(ListLength())
+    ra.add_metric(TestItemCount())
+    ra.add_metric(UniqueItemCount())
+    res = ra.measure(outs, test)
+    lst = res.list_metrics()
+    assert np.array_equal(np.sort(lst["N"].to_numpy()), [1.0, 2.0, 3.0])
+    assert np.array_equal(np.sort(lst["TestItemCount"].to_numpy()), [1.0, 2.0, 3.0])
+    summary = res.list_summary()
+    assert summary.loc["N", "mean"] == pytest.approx(2.0)
+    # global metric lands in the summary with the run-level value
+    assert summary.loc["UniqueItemCount", "mean"] == pytest.approx(6.0)
+
+
+def test_run_analysis_measures_output_lists_only():
+    # measurement iterates OUTPUT lists (reference: _collect.py — a test
+    # user with no recommendations contributes no row); an output list with
+    # no test data is measured against an empty test list
+    outs = _ilc({1: [1, 2], 5: [9]})
+    test = _ilc({1: [2], 2: [3]})
+    ra = RunAnalysis()
+    ra.add_metric(ListLength())
+    ra.add_metric(TestItemCount())
+    res = ra.measure(outs, test)
+    lst = res.list_metrics()
+    assert len(lst) == 2
+    assert np.array_equal(np.sort(lst["N"].to_numpy()), [1.0, 2.0])
+    # user 5 measured against empty test
+    assert np.array_equal(np.sort(lst["TestItemCount"].to_numpy()), [0.0, 1.0])
