@@ -13,6 +13,7 @@ __all__ = [
     "ConfigWarning",
     "PipelineError",
     "PipelineWarning",
+    "TypecheckWarning",
 ]
 
 
@@ -42,3 +43,8 @@ class PipelineError(Exception):
 
 class PipelineWarning(Warning):
     """Warning raised for detectable problems with pipeline configuration."""
+
+
+class TypecheckWarning(UserWarning):
+    """Warning raised when a pipeline connection cannot be statically
+    type-checked (reference: diagnostics.py ``TypecheckWarning``)."""

@@ -64,3 +64,32 @@ __all__ = [
     "rank_biased_overlap",
     "rmse",
 ]
+
+
+def measure_list(metric, output, test=None, *args, **kwargs):
+    """Measure a single list with a metric, instantiating it if given a
+    class (reference: metrics/__init__.py:99).  Convenience for one-off
+    measurement without a :class:`RunAnalysis`."""
+    from lkpy_tpu.data import ItemList
+
+    if isinstance(metric, type):
+        metric = metric(*args, **kwargs)
+    if test is None:
+        test = ItemList()
+    if isinstance(metric, ListMetric):
+        return metric.measure_list(output, test)
+    if callable(metric):
+        return metric(output, test)
+    raise TypeError(f"invalid metric {metric!r}")
+
+
+def call_metric(metric, output, test=None, *args, **kwargs):
+    """Deprecated alias for :func:`measure_list`
+    (reference: metrics/__init__.py:81)."""
+    import warnings
+
+    warnings.warn("call_metric is deprecated, use measure_list instead", DeprecationWarning)
+    return measure_list(metric, output, test, *args, **kwargs)
+
+
+__all__ += ["call_metric", "measure_list"]

@@ -27,3 +27,13 @@ __all__ = [
     "split_global_time",
     "split_temporal_fraction",
 ]
+
+
+def simple_test_pair(ratings, n_users=200, n_rates=5, f_rates=None, rng=None):
+    """One basic train-test pair — convenience for tests and demos only
+    (reference: splitting/__init__.py:38)."""
+    method = SampleFrac(f_rates, rng=rng) if f_rates else SampleN(n_rates, rng=rng)
+    return sample_users(ratings, n_users, method, rng=rng)
+
+
+__all__ += ["simple_test_pair"]

@@ -77,3 +77,43 @@ def test_run_analysis_measures_output_lists_only():
     assert np.array_equal(np.sort(lst["N"].to_numpy()), [1.0, 2.0])
     # user 5 measured against empty test
     assert np.array_equal(np.sort(lst["TestItemCount"].to_numpy()), [0.0, 1.0])
+
+
+def test_measure_list_convenience():
+    from lkpy_tpu.metrics import NDCG, Precision, measure_list
+
+    out = ItemList(item_ids=[1, 2, 3], ordered=True)
+    test = ItemList(item_ids=[2])
+    assert measure_list(NDCG, out, test) == pytest.approx(1.0)
+    assert measure_list(Precision(2), out, test) == pytest.approx(0.5)
+    # plain function metrics work too
+    assert measure_list(lambda o, t: float(len(o) + len(t)), out, test) == 4.0
+    with pytest.raises(TypeError):
+        measure_list(object(), out, test)
+
+
+def test_call_metric_deprecated_alias():
+    from lkpy_tpu.metrics import NDCG, call_metric
+
+    out = ItemList(item_ids=[1, 2], ordered=True)
+    with pytest.warns(DeprecationWarning):
+        v = call_metric(NDCG, out, ItemList(item_ids=[1]))
+    assert 0.0 <= v <= 1.0
+
+
+def test_simple_test_pair():
+    from lkpy_tpu.data import from_interactions_df
+    from lkpy_tpu.splitting import simple_test_pair
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, 800),
+            "item_id": rng.integers(0, 50, 800),
+            "rating": 1.0,
+        }
+    ).drop_duplicates(["user_id", "item_id"])
+    split = simple_test_pair(from_interactions_df(df), n_users=12, n_rates=3, rng=1)
+    assert len(split.test) == 12
+    assert all(len(il) == 3 for _k, il in split.test)
+    assert split.train.interaction_count == len(df) - 36
