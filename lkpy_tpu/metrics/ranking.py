@@ -33,6 +33,8 @@ __all__ = [
     "ListGini",
     "ExposureGini",
     "ILS",
+    "array_dcg",
+    "fixed_dcg",
 ]
 
 
@@ -323,3 +325,25 @@ class ILS(ListMetric, RankingMetricBase):
         m = len(recs)
         iu = np.triu_indices(m, k=1)
         return float(np.mean(sim[iu]))
+
+
+def array_dcg(scores: np.ndarray, weight: RankWeight | None = None, *, graded: bool = True) -> float:
+    """DCG of an array of relevance scores in recommendation order — a
+    utility for other metrics, not a top-N metric itself
+    (reference: ranking/_dcg.py:258).
+
+    With ``graded=True`` the scores are gains (clipped at 0); with
+    ``graded=False`` any positive score counts as binary relevance 1.
+    """
+    scores = np.asarray(scores, dtype=np.float64)
+    if len(scores) == 0:
+        return np.nan
+    w = (weight or LogRankWeight()).weight(np.arange(1, len(scores) + 1))
+    if graded:
+        return float(np.dot(np.clip(np.nan_to_num(scores, nan=0.0), 0.0, None), w))
+    return float(np.sum(w[scores > 0]))
+
+
+def fixed_dcg(n: int, weight: RankWeight | None = None) -> float:
+    """DCG of ``n`` items with relevance 1 (reference: ranking/_dcg.py:293)."""
+    return float(np.sum((weight or LogRankWeight()).weight(np.arange(1, n + 1))))

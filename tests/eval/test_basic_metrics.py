@@ -117,3 +117,24 @@ def test_simple_test_pair():
     assert len(split.test) == 12
     assert all(len(il) == 3 for _k, il in split.test)
     assert split.train.interaction_count == len(df) - 36
+
+
+def test_array_dcg_graded_matches_manual():
+    from lkpy_tpu.metrics.ranking import array_dcg
+
+    scores = np.array([3.0, 0.0, 2.0, 1.0])
+    # lenskit discount convention: 1/max(log2(rank), 1) — ranks 1-2 undiscounted
+    w = 1.0 / np.maximum(np.log2(np.arange(1, 5)), 1.0)
+    assert array_dcg(scores) == pytest.approx(float(np.dot(scores, w)))
+    # binary: positive scores count 1
+    assert array_dcg(scores, graded=False) == pytest.approx(float(w[0] + w[2] + w[3]))
+    assert np.isnan(array_dcg(np.array([])))
+    # negative and NaN gains are clipped / zeroed
+    assert array_dcg(np.array([-1.0, np.nan, 2.0])) == pytest.approx(2.0 * w[2])
+
+
+def test_fixed_dcg_is_ideal_prefix():
+    from lkpy_tpu.metrics.ranking import array_dcg, fixed_dcg
+
+    assert fixed_dcg(4) == pytest.approx(array_dcg(np.ones(4)))
+    assert fixed_dcg(1) == pytest.approx(1.0)
