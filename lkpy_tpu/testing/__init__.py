@@ -7,7 +7,7 @@ Capability parity with reference ``lenskit.testing``
 strategies _arrays.py:25-91).
 """
 
-from lkpy_tpu.testing.components import BasicComponentTests, ScorerTests
+from lkpy_tpu.testing.components import BasicComponentTests, ScorerTests, TrainingTests
 from lkpy_tpu.testing.movielens import ml_test_dir
 
-__all__ = ["BasicComponentTests", "ScorerTests", "ml_test_dir"]
+__all__ = ["BasicComponentTests", "ScorerTests", "TrainingTests", "ml_test_dir"]

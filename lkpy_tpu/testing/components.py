@@ -23,7 +23,7 @@ from lkpy_tpu.metrics import quick_measure_model
 from lkpy_tpu.pipeline import topn_pipeline
 from lkpy_tpu.training import TrainingOptions
 
-__all__ = ["BasicComponentTests", "ScorerTests"]
+__all__ = ["BasicComponentTests", "ScorerTests", "TrainingTests"]
 
 
 class BasicComponentTests:
@@ -46,6 +46,28 @@ class BasicComponentTests:
         dumped = comp.dump_config()
         comp2 = self.component(self.component.validate_config(dumped))
         assert comp2.dump_config() == dumped
+
+
+class TrainingTests(BasicComponentTests):
+    """Common training tests (reference: _components.py:74 ``TrainingTests``):
+    the component trains on MovieLens and reports itself trained.  Scorers
+    get the full grid from :class:`ScorerTests`; use this base directly for
+    trainable non-scorer components."""
+
+    @pytest.fixture(scope="class")
+    def trained_component(self, ml_ds: Dataset):
+        comp = self._make()
+        comp.train(ml_ds, TrainingOptions(rng=42))
+        return comp
+
+    def test_is_trained(self, trained_component):
+        assert getattr(trained_component, "is_trained", True)
+
+    def test_retrain_false_is_noop(self, trained_component):
+        # retrain=False on an already-trained component must not clobber it
+        before = pickle.dumps(trained_component.dump_config())
+        trained_component.train(None, TrainingOptions(retrain=False))
+        assert pickle.dumps(trained_component.dump_config()) == before
 
 
 class ScorerTests(BasicComponentTests):
