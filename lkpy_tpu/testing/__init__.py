@@ -11,3 +11,29 @@ from lkpy_tpu.testing.components import BasicComponentTests, ScorerTests, Traini
 from lkpy_tpu.testing.movielens import ml_test_dir
 
 __all__ = ["BasicComponentTests", "ScorerTests", "TrainingTests", "ml_test_dir"]
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def set_env_var(name: str, value: str | None):
+    """Temporarily set (or unset, with ``None``) an environment variable
+    (reference: testing/__init__.py ``set_env_var``)."""
+    import os
+
+    old = os.environ.get(name)
+    try:
+        if value is None:
+            os.environ.pop(name, None)
+        else:
+            os.environ[name] = value
+        yield
+    finally:
+        if old is None:
+            os.environ.pop(name, None)
+        else:
+            os.environ[name] = old
+
+
+__all__ += ["set_env_var"]

@@ -39,6 +39,35 @@ class TrainingOptions:
     #: optional jax.sharding.Mesh — trainers that support multi-chip training
     #: (ALS, FlexMF) shard row batches over its ``data`` axis
     mesh: Any | None = None
+    #: local environment overrides consulted before ``os.environ`` by
+    #: :meth:`env_var` / :meth:`env_flag` (reference: training.py
+    #: ``TrainingOptions.environment``) — lets callers pass tuning knobs
+    #: without mutating process state.
+    environment: dict[str, str] | None = None
+
+    def env_var(self, name: str, default: str | None = None) -> str | None:
+        """Look up a training environment variable: the local
+        :attr:`environment` dict first, then ``os.environ``
+        (reference: training.py ``env_var``)."""
+        import os
+
+        if self.environment is not None and name in self.environment:
+            return self.environment[name]
+        return os.environ.get(name, default)
+
+    def env_flag(self, name: str, default: bool = False) -> bool:
+        """Boolean training flag: ``1/t/true/y/yes/on`` (case-insensitive)
+        are true, ``0/f/false/n/no/off`` false; anything else falls back to
+        ``default`` (reference: training.py ``env_flag``)."""
+        val = self.env_var(name)
+        if val is None:
+            return default
+        low = val.strip().lower()
+        if low in ("1", "t", "true", "y", "yes", "on"):
+            return True
+        if low in ("0", "f", "false", "n", "no", "off"):
+            return False
+        return default
 
     def random_generator(self) -> np.random.Generator:
         return random_generator(self.rng)
