@@ -310,13 +310,16 @@ def main():
         f"{qps_27k:.3e} sequential, {qps_27k_pipe:.3e} pipelined"
     )
     # measured transport accounting (replaces the round-4 clamped latency
-    # model): with O(1) ops per batch the readback IS the residual — report
-    # its measured share of the batch wall directly from the trace
-    total_s = tm_27k.get("enqueue_s", 0.0) + tm_27k.get("readback_s", 0.0)
-    readback_frac = tm_27k.get("readback_s", 0.0) / total_s if total_s else 0.0
+    # model): with O(1) ops per batch the readback is the only transport
+    # residual — report its share of the MEASURED batch wall (the rest is
+    # device compute), not of transport time alone
+    batch_wall_s = len(serve_users) / qps_27k if qps_27k else 0.0
+    readback_frac = tm_27k.get("readback_s", 0.0) / batch_wall_s if batch_wall_s else 0.0
     log(
         f"  residual: {tm_27k.get('tunnel_ops')} transport ops/batch; readback "
-        f"{readback_frac:.0%} of sequential batch wall (pipelining overlaps it)"
+        f"{tm_27k.get('readback_s', 0.0):.3f}s = {readback_frac:.0%} of the "
+        f"{batch_wall_s:.3f}s sequential batch wall (pipelining overlaps it; "
+        f"the remainder is device compute)"
     )
 
     # 500k-item catalog: synthetic embeddings + synthetic history matrix

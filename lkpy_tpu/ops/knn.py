@@ -510,6 +510,14 @@ def similarity_topk(
         # per chunk (fewer, larger MXU matmuls, fewer sync points)
         slab_bytes = 2 if bf16 else 4
         budget_chunk = max(max_dense_bytes // (n_items * slab_bytes), 1024)
+        # the packed/resident fast paths index chunk-relative rows as uint16;
+        # a generous byte budget must not push user_chunk past that and
+        # silently route to the slow per-chunk-shipment path (measured: the
+        # resident path with ~10k-user chunks beats two 69k-user non-resident
+        # chunks 2.6 s vs 4.6 s at the 27k-item bench shape — chunk dispatches
+        # are async and cheap, host shipment is not)
+        if bf16 and n_items < 65_535:
+            budget_chunk = min(budget_chunk, 65_534)
         n_chunks = max(-(-n_users // budget_chunk), 1)
         user_chunk = -(-n_users // n_chunks)
         import time as _time
