@@ -105,8 +105,6 @@ def test_implicit_bpr_gate(ml_ds):
     assert res.list_summary().loc["NDCG@20", "mean"] >= 0.01
 
 
-@pytest.mark.eval
-@pytest.mark.slow
-def test_implicit_warp_gate(ml_ds):
-    res = quick_measure_model(FlexMFImplicitScorer(preset="warp"), ml_ds, rng=42, user_frac=0.5)
-    assert res.list_summary().loc["NDCG@20", "mean"] >= 0.01
+# the default-config WARP gate (floor 0.01, ~40 s: the WARP misrank search
+# dominates) is strictly subsumed by TestFlexMFWARPGrid's eval gate in
+# test_scorer_grid.py (realistic config, floor 0.18, measured 0.304)
