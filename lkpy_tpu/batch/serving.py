@@ -24,11 +24,11 @@ throughput lever is fan-out; ours is transport collapse):
    *group* executed by ONE jitted program (`lax.scan` over the blocks).
    A 16k-user batch issues ~4-8 program dispatches (all asynchronous)
    instead of 16+ synchronous upload/dispatch pairs.
-4. **One compact readback** — a final concat program fuses every group's
-   results into a single (N, n) value/index pair, cast to float16 scores
-   and uint16 indices (catalogs ≤ 65536 items) so the device->host
-   transfer is 4 bytes per recommendation; `copy_to_host_async` overlaps
-   it with host-side assembly.
+4. **Pieced compact readback** — results come back as float16 scores and
+   uint16 indices (catalogs ≤ 65536 items), 4 bytes per recommendation,
+   split into ~3 similar-sized pieces whose `copy_to_host_async` transfers
+   overlap the remaining pieces' compute; `finalize()` assembles them into
+   one (N, n) pair on the host.
 
 Measured on the tunneled v5e (benchmarks/probe_tunnel*.py): round-trip
 ~25 ms, uploads ~17-58 MB/s, readbacks ~6-38 MB/s and wildly
@@ -54,6 +54,11 @@ __all__ = ["PendingServe", "ServePlan", "enqueue_serve", "plan_groups", "serve_b
 
 #: history pad widths: powers of two from 64 (the recompile-bounding ladder)
 _H_LADDER_BASE = 64
+
+#: target number of readback pieces per batch — each piece's transfer
+#: overlaps the next piece's compute; past ~4 the per-op tunnel service
+#: latency (~25 ms each) eats the overlap win
+_READBACK_PIECES = 3
 
 
 def _ladder_width(maxlen: int) -> int:
@@ -276,15 +281,6 @@ def _serve_group(
     return v.reshape(G * B, n), ix.reshape(G * B, n)
 
 
-@jax.jit
-def _concat_outs(vs, ixs):
-    """Fuse per-group outputs into one (N_pad, n) pair — turns 2·G readbacks
-    into 2 (each readback pays ~25-250 ms of tunnel latency)."""
-    if len(vs) == 1:
-        return vs[0], ixs[0]
-    return jnp.concatenate(vs, axis=0), jnp.concatenate(ixs, axis=0)
-
-
 # ---------------------------------------------------------------------------
 # the engine
 
@@ -292,14 +288,20 @@ def _concat_outs(vs, ixs):
 class PendingServe(NamedTuple):
     """An enqueued serving batch: device work dispatched, readback pending.
 
-    ``finalize()`` blocks on the device->host copy and returns
+    ``pieces`` holds ``(row_lo, v, ix)`` device outputs in dispatch order;
+    each piece's host copy was started asynchronously as soon as it was
+    dispatched, so the transfer of piece *i* overlaps the compute of piece
+    *i+1* (the tunnel and the TPU are independent resources — splitting the
+    dominant scan group into ~equal sub-programs raised sequential 27k-item
+    serving from 28k to 30k+ qps by hiding most of the single big readback).
+    ``finalize()`` drains the copies and returns
     ``(vals f32 (N, n), idx int32 (N, n), order)`` — the same contract as
     :func:`serve_batch`.  Holding several of these pipelines batches: batch
-    N+1's device compute overlaps batch N's readback (the tunnel transfer
-    and the TPU are independent resources)."""
+    N+1's device compute overlaps batch N's readback."""
 
-    v_all: jax.Array
-    i_all: jax.Array
+    pieces: list  # [(row_lo, v_dev, ix_dev)]
+    n_pad: int
+    n_cols: int
     order: np.ndarray
     n_rows: int
     t_start: float
@@ -309,15 +311,24 @@ class PendingServe(NamedTuple):
 
     def finalize(self):
         tr = time.perf_counter()
-        v_host = np.asarray(self.v_all)
-        i_host = np.asarray(self.i_all)
+        v_host = i_host = None
+        nbytes = 0
+        for row_lo, v, ix in self.pieces:
+            va = np.asarray(v)
+            ia = np.asarray(ix)
+            if v_host is None:
+                v_host = np.empty((self.n_pad, self.n_cols), dtype=va.dtype)
+                i_host = np.empty((self.n_pad, self.n_cols), dtype=ia.dtype)
+            v_host[row_lo : row_lo + len(va)] = va
+            i_host[row_lo : row_lo + len(ia)] = ia
+            nbytes += va.nbytes + ia.nbytes
         t_read = time.perf_counter() - tr
         if self.trace is not None:
-            self.trace.append(("readback:topn", t_read, v_host.nbytes + i_host.nbytes))
+            self.trace.append((f"readback:topn x{len(self.pieces)}", t_read, nbytes))
         if self.timings is not None:
             self.timings["enqueue_s"] = self.t_enqueue
             self.timings["readback_s"] = t_read
-            self.timings["tunnel_ops"] = len(self.trace)
+            self.timings["tunnel_ops"] = len(self.trace) + len(self.pieces) - 1
             self.timings["trace"] = self.trace
         N = self.n_rows
         return (
@@ -337,8 +348,8 @@ def serve_batch(
     """Run one serving batch; returns (vals f32 (N, n), idx int32 (N, n),
     order) with rows in SORTED order: position ``order[i]`` -> input row.
 
-    All transport is O(1) in the number of chunks: one nums upload, one
-    dispatch per width group (+1 concat), two readbacks."""
+    All transport is O(1) in the number of chunks: one nums upload, a few
+    piece dispatches, and one pipelined readback per piece."""
     return enqueue_serve(nums, csr, timings=timings, **kw).finalize()
 
 
@@ -385,46 +396,60 @@ def enqueue_serve(
     if trace is not None:
         trace.append(("upload:user_nums", time.perf_counter() - tu, plan.nums_padded.nbytes))
 
-    outs_v, outs_i = [], []
+    # split the work into ~_READBACK_PIECES similar-sized scan programs so
+    # piece i's device->host copy (started the moment it is dispatched)
+    # overlaps piece i+1's compute — the single-readback form serialized
+    # compute (~0.34 s) then transfer (~0.25 s) per 16k-user batch.  Pieces
+    # within one width group use as-equal-as-possible G so at most two
+    # program shapes per group compile.
+    total_chunks = sum(g.chunks for g in plan.groups)
+    piece_budget = max(-(-total_chunks // _READBACK_PIECES), 1)
+    pieces: list = []
     B = plan.block
     for g in plan.groups:
-        td = time.perf_counter()
-        lo = g.start * B
-        seg = jax.lax.slice(nums_dev, (lo,), (lo + g.chunks * B,))
-        v, ix = _serve_group(
-            seg,
-            indptr,
-            colv,
-            valv,
-            i_emb,
-            i_bias,
-            scalar_dev(offset),
-            u_table,
-            u_bias,
-            tuple(kern_args),
-            kern=kern,
-            G=g.chunks,
-            B=B,
-            H=g.width,
-            n=n,
-            n_items=n_items,
-            method=method,
-            out_dtype=out_dtype,
-            idx_dtype=idx_dtype,
-            mesh=mesh,
-        )
-        outs_v.append(v)
-        outs_i.append(ix)
-        if trace is not None:
-            trace.append((f"dispatch:group H={g.width} G={g.chunks}", time.perf_counter() - td, 0))
-
-    td = time.perf_counter()
-    v_all, i_all = _concat_outs(outs_v, outs_i)
-    # start the device->host copies immediately; they overlap any remaining
-    # device work and whatever the caller does before finalize()
-    v_all.copy_to_host_async()
-    i_all.copy_to_host_async()
-    if trace is not None:
-        trace.append(("dispatch:concat+async_copy", time.perf_counter() - td, 0))
+        k = max(-(-g.chunks // piece_budget), 1)
+        base, rem = divmod(g.chunks, k)
+        start = g.start
+        for j in range(k):
+            gc = base + (1 if j < rem else 0)
+            if gc == 0:
+                continue
+            td = time.perf_counter()
+            lo = start * B
+            seg = jax.lax.slice(nums_dev, (lo,), (lo + gc * B,))
+            v, ix = _serve_group(
+                seg,
+                indptr,
+                colv,
+                valv,
+                i_emb,
+                i_bias,
+                scalar_dev(offset),
+                u_table,
+                u_bias,
+                tuple(kern_args),
+                kern=kern,
+                G=gc,
+                B=B,
+                H=g.width,
+                n=n,
+                n_items=n_items,
+                method=method,
+                out_dtype=out_dtype,
+                idx_dtype=idx_dtype,
+                mesh=mesh,
+            )
+            # start this piece's host copy now; it overlaps later pieces'
+            # compute and whatever the caller does before finalize()
+            v.copy_to_host_async()
+            ix.copy_to_host_async()
+            pieces.append((lo, v, ix))
+            if trace is not None:
+                trace.append(
+                    (f"dispatch:group H={g.width} G={gc}+async_copy", time.perf_counter() - td, 0)
+                )
+            start += gc
     t_enqueue = time.perf_counter() - t0
-    return PendingServe(v_all, i_all, plan.order, len(nums), t0, t_enqueue, trace, timings)
+    return PendingServe(
+        pieces, len(plan.nums_padded), n, plan.order, len(nums), t0, t_enqueue, trace, timings
+    )

@@ -110,9 +110,16 @@ def test_device_recommend_unknown_and_empty(data):
     ds = from_interactions_df(pd.DataFrame({"user_id": users, "item_id": items}))
     scorer = make_scorer(ds)
     mixed = [int(ds.users.ids[0]), 999_999_999]
-    recs = device_recommend(scorer, mixed, 5, ds.interaction_matrix(), chunk=4)
+    matrix = ds.interaction_matrix()
+    recs = device_recommend(scorer, mixed, 5, matrix, chunk=4)
     assert len(recs.lookup(999_999_999)) == 0
-    assert len(recs.lookup(int(ds.users.ids[0]))) > 0
+    known = recs.lookup(int(ds.users.ids[0]))
+    hist = set(matrix.row_items(int(ds.users.ids[0])).ids().tolist())
+    # a known user gets recommendations iff unseen catalog items remain
+    # (a degenerate set where user 0 saw every item yields an empty list)
+    n_candidates = ds.item_count - len(hist)
+    assert len(known) == min(5, n_candidates)
+    assert not (set(known.ids().tolist()) & hist)
 
 
 @SLOW
