@@ -342,10 +342,26 @@ class FlexMFTrainerBase(ModelTrainer):
         device work; see parallel/gradient.py ``jit_sharded_epoch``)."""
         perm, bs = self._epoch_perm()
         n_steps = len(perm) // bs
-        stacked = tuple(
-            self._place_epoch(jnp.asarray(a).reshape(n_steps, bs, *a.shape[1:]))
-            for a in self.batch_arrays(perm)
-        )
+        base = None if self.mesh is not None else self.epoch_base_arrays()
+        if base is not None:
+            # device-resident base arrays + one int32 permutation upload
+            # per epoch: the host-gather form shipped every gathered batch
+            # array (2-3 × nnz × 4 B ≈ 110-170 MB/epoch over the tunnel at
+            # 17-58 MB/s — several seconds of pure upload, the dominant
+            # fixed cost of an epoch).  Shuffling stays on the HOST rng so
+            # the example order is bit-identical to the per-batch loop.
+            if getattr(self, "_base_dev", None) is None:
+                self._base_dev = tuple(jnp.asarray(a) for a in base)
+            perm_dev = jnp.asarray(perm.astype(np.int32, copy=False))
+            stacked = tuple(
+                jnp.take(b, perm_dev, axis=0).reshape(n_steps, bs, *b.shape[1:])
+                for b in self._base_dev
+            )
+        else:
+            stacked = tuple(
+                self._place_epoch(jnp.asarray(a).reshape(n_steps, bs, *a.shape[1:]))
+                for a in self.batch_arrays(perm)
+            )
         self.params, self.opt_state, self.key, total = self._epoch(
             self.params, self.opt_state, self.key, *self.step_consts, *stacked
         )
@@ -361,6 +377,14 @@ class FlexMFTrainerBase(ModelTrainer):
 
     def batch_arrays(self, idx):
         raise NotImplementedError
+
+    def epoch_base_arrays(self) -> tuple | None:
+        """The host arrays ``batch_arrays`` gathers from, such that
+        ``batch_arrays(idx) == tuple(a[idx] for a in base)`` — lets
+        :meth:`train_epoch` keep them device-resident and gather on device
+        (one permutation upload per epoch instead of every batch array).
+        Return None if the trainer's batches are not a pure row gather."""
+        return None
 
     def _table_size(self, name: str) -> int:
         return self.n_users if name.startswith("u_") else self.n_items
@@ -412,6 +436,9 @@ class FlexMFExplicitTrainer(FlexMFTrainerBase):
             jnp.asarray(self._items[idx]),
             jnp.asarray(self._ratings[idx]),
         )
+
+    def epoch_base_arrays(self):
+        return (self._users, self._items, self._ratings)
 
     def build_step(self):
         reg = self.config.regularization
@@ -483,6 +510,9 @@ class FlexMFImplicitTrainer(FlexMFTrainerBase):
 
     def batch_arrays(self, idx):
         return (jnp.asarray(self._users[idx]), jnp.asarray(self._items[idx]))
+
+    def epoch_base_arrays(self):
+        return (self._users, self._items)
 
     def final_params(self):
         if self.conv is not None:

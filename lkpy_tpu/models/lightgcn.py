@@ -351,8 +351,18 @@ class LightGCNTrainer(ModelTrainer):
         if tail:
             perm = np.concatenate([perm, self.rng.choice(n, size=bs - tail)])
         n_steps = len(perm) // bs
-        users = jnp.asarray(self._users[perm]).reshape(n_steps, bs)
-        items = jnp.asarray(self._items[perm]).reshape(n_steps, bs)
+        if self.mesh is None:
+            # resident interaction arrays + one int32 perm upload per epoch
+            # (the host-gather form shipped ~2 × nnz × 8 B of gathered
+            # batches per epoch over the tunnel; see flexmf.py train_epoch)
+            if getattr(self, "_base_dev", None) is None:
+                self._base_dev = (jnp.asarray(self._users), jnp.asarray(self._items))
+            perm_dev = jnp.asarray(perm.astype(np.int32, copy=False))
+            users = jnp.take(self._base_dev[0], perm_dev, axis=0).reshape(n_steps, bs)
+            items = jnp.take(self._base_dev[1], perm_dev, axis=0).reshape(n_steps, bs)
+        else:
+            users = jnp.asarray(self._users[perm]).reshape(n_steps, bs)
+            items = jnp.asarray(self._items[perm]).reshape(n_steps, bs)
         if self.mesh is not None:
             from lkpy_tpu.parallel.gradient import epoch_batch_sharding
 
