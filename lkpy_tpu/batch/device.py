@@ -54,9 +54,11 @@ def invalidate_device_cache() -> None:
     serving calls — the cache assumes trained tables are immutable (they are
     for every trainer in this library, which always assigns fresh arrays)."""
     from lkpy_tpu.batch.serving import invalidate_resident
+    from lkpy_tpu.ops.knn import invalidate_knn_caches
 
     _dev_cache.clear()
     invalidate_resident()
+    invalidate_knn_caches()
 
 
 def _cached_device(arr):

@@ -275,6 +275,14 @@ def _serve_group(
                 s = s + i_bias[None, :]
             s = s + ub[:, None] + offset
             v, ix = _topn_scores(s, hcols, hmask, n, n_items, method)
+        # clamp finite scores into the compact dtype's range before the cast:
+        # an f32 score past ±65504 would overflow f16 to ±inf, and the host
+        # side treats non-finite scores as masked padding (device.py length
+        # computation) — the BEST items of a large-magnitude scorer would
+        # silently vanish.  -inf (real masking) survives the clamp.
+        if out_dtype == jnp.float16:
+            fmax = jnp.float32(np.finfo(np.float16).max)
+            v = jnp.where(jnp.isfinite(v), jnp.clip(v, -fmax, fmax), v)
         return None, (v.astype(out_dtype), ix.astype(idx_dtype))
 
     _, (v, ix) = jax.lax.scan(body, None, nums_g.reshape(G, B))
@@ -311,14 +319,13 @@ class PendingServe(NamedTuple):
 
     def finalize(self):
         tr = time.perf_counter()
-        v_host = i_host = None
+        # an empty batch dispatches no pieces; return empty host arrays
+        v_host = np.empty((self.n_pad, self.n_cols), dtype=np.float32)
+        i_host = np.empty((self.n_pad, self.n_cols), dtype=np.int32)
         nbytes = 0
         for row_lo, v, ix in self.pieces:
             va = np.asarray(v)
             ia = np.asarray(ix)
-            if v_host is None:
-                v_host = np.empty((self.n_pad, self.n_cols), dtype=va.dtype)
-                i_host = np.empty((self.n_pad, self.n_cols), dtype=ia.dtype)
             v_host[row_lo : row_lo + len(va)] = va
             i_host[row_lo : row_lo + len(ia)] = ia
             nbytes += va.nbytes + ia.nbytes

@@ -212,8 +212,15 @@ class ItemList:
             raise RuntimeError("item list has no vocabulary")
         # an explicitly-passed vocabulary never touches the cache: caching
         # its numbers would serve STALE numbers to a later call with a
-        # different vocabulary (found by tests/data/test_itemlist_property.py)
-        if vocabulary is not None and vocabulary is not self._vocab:
+        # different vocabulary (found by tests/data/test_itemlist_property.py).
+        # A nums-only list with no vocabulary of its own has nothing to remap
+        # FROM — its stored numbers are interpreted as already being in the
+        # caller's vocabulary (reference: data/_items.py numbers()).
+        if (
+            vocabulary is not None
+            and vocabulary is not self._vocab
+            and not (self._vocab is None and self._ids is None)
+        ):
             nums = vocab.numbers(self.ids(), missing=missing)
         elif self._nums is None:
             nums = vocab.numbers(self._ids, missing=missing)

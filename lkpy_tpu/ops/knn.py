@@ -40,6 +40,7 @@ __all__ = [
     "similarity_topk",
     "score_items_explicit",
     "score_items_implicit",
+    "invalidate_knn_caches",
     "NeighborTable",
 ]
 
@@ -65,6 +66,16 @@ class NeighborTable(NamedTuple):
 
 
 _row_scale_cache: dict = {}
+
+
+def invalidate_knn_caches() -> None:
+    """Drop the identity-keyed device-resident kNN caches (row scales and
+    resident Gram structure).  Called by
+    :func:`lkpy_tpu.batch.device.invalidate_device_cache` — the caches key
+    by object identity, which an IN-PLACE mutation of a CSR does not
+    change, so mutating callers must invalidate explicitly."""
+    _row_scale_cache.clear()
+    _resident_struct.clear()
 
 
 def _note_row_scale(csr: CSR, row_scale: np.ndarray) -> None:

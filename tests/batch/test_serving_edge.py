@@ -119,3 +119,62 @@ def test_invalidate_device_cache_clears_resident(small):
     invalidate_device_cache()
     b = _resident_csr(csr, False)
     assert b[1] is not a[1]
+
+
+def test_empty_user_batch_returns_empty_collection():
+    """Regression (round-5 review): zero users -> empty ILC, not a crash."""
+    import numpy as np
+    import pandas as pd
+
+    from lkpy_tpu.data import from_interactions_df
+    from lkpy_tpu.batch.device import device_recommend
+    from lkpy_tpu.models.als import ImplicitMFScorer
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {"user_id": rng.integers(0, 50, 500), "item_id": rng.integers(0, 40, 500)}
+    ).drop_duplicates()
+    ds = from_interactions_df(df)
+    m = ds.interaction_matrix()
+    m.csr(None)
+    sc = ImplicitMFScorer(ImplicitMFScorer.validate_config({"features": 4, "epochs": 1}))
+    sc.train(ds)
+    recs = device_recommend(sc, [], 5, m)
+    assert len(recs) == 0
+
+
+def test_f16_compact_readback_clamps_large_scores():
+    """Regression (round-5 review): scores past the f16 range must clamp,
+    not overflow to inf and be dropped as masked padding."""
+    import numpy as np
+    import pandas as pd
+
+    from lkpy_tpu.data import from_interactions_df
+    from lkpy_tpu.batch.device import device_recommend
+    from lkpy_tpu.models.als import ImplicitMFScorer
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame(
+        {"user_id": rng.integers(0, 40, 600), "item_id": rng.integers(0, 50, 600)}
+    ).drop_duplicates()
+    ds = from_interactions_df(df)
+    m = ds.interaction_matrix()
+    m.csr(None)
+    sc = ImplicitMFScorer(ImplicitMFScorer.validate_config({"features": 8, "epochs": 1}))
+    sc.train(ds)
+    # inflate the tables so top scores exceed the f16 max (65504)
+    sc.user_embeddings = np.asarray(sc.user_embeddings) * 4000.0
+    sc.item_embeddings = np.asarray(sc.item_embeddings) * 4000.0
+    from lkpy_tpu.batch.device import invalidate_device_cache
+
+    invalidate_device_cache()
+    uids = np.asarray(ds.users.ids)[:8]
+    from lkpy_tpu.config import configure
+
+    with configure(serving={"readback_precision": "f16"}):
+        recs_f16 = device_recommend(sc, uids, 5, m, exact=True)
+    for u in uids:
+        il = recs_f16.lookup(int(u))
+        n_cand = ds.item_count - len(m.row_items(int(u)))
+        assert len(il) == min(5, n_cand), int(u)
+        assert np.isfinite(il.scores()).all()

@@ -137,3 +137,19 @@ def test_scores_pandas_format():
     il = ItemList(item_ids=[1, 2], vocabulary=vocab, scores=[0.1, 0.2])
     s = il.scores("pandas")
     assert isinstance(s, pd.Series)
+
+
+def test_nums_only_list_with_explicit_vocabulary():
+    """Regression (round-5 review): a nums-only list with no vocabulary of
+    its own returns its stored numbers under an explicit vocabulary (they
+    are interpreted as already being in that numbering) instead of raising."""
+    vocab = Vocabulary([10, 20, 30, 40])
+    il = ItemList(item_nums=[1, 3])
+    nums = il.numbers(vocabulary=vocab)
+    assert np.array_equal(nums, [1, 3])
+    # scoring-path form used by every scorer
+    nums2 = il.numbers(vocabulary=vocab, missing="negative")
+    assert np.array_equal(nums2, [1, 3])
+    # but a list with IDS still remaps through the explicit vocabulary
+    il_ids = ItemList(item_ids=[20, 40])
+    assert np.array_equal(il_ids.numbers(vocabulary=vocab), [1, 3])
