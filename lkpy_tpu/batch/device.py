@@ -53,12 +53,16 @@ def invalidate_device_cache() -> None:
     Call after mutating a scorer's embedding/bias arrays IN PLACE between
     serving calls — the cache assumes trained tables are immutable (they are
     for every trainer in this library, which always assigns fresh arrays)."""
-    from lkpy_tpu.batch.serving import invalidate_resident
-    from lkpy_tpu.ops.knn import invalidate_knn_caches
+    # sweep every registered residency cache (serving CSR, kNN row scales,
+    # kNN resident Gram structure, and anything added later) — targeted
+    # invalidators (serving.invalidate_resident, knn.invalidate_knn_caches)
+    # remain for finer control
+    import lkpy_tpu.batch.serving  # noqa: F401 — ensure caches are registered
+    import lkpy_tpu.ops.knn  # noqa: F401
+    from lkpy_tpu.utils.residency import invalidate_all_residency
 
     _dev_cache.clear()
-    invalidate_resident()
-    invalidate_knn_caches()
+    invalidate_all_residency()
 
 
 def _cached_device(arr):

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lkpy_tpu.logging import get_logger
+from lkpy_tpu.utils.residency import ResidentCache
 
 _log = get_logger(__name__)
 
@@ -110,8 +111,7 @@ def plan_groups(nums: np.ndarray, lens: np.ndarray, block: int) -> ServePlan:
 # resident device state
 
 
-_resident: dict = {}
-_RESIDENT_MAX = 8
+_resident = ResidentCache("serving_csr", max_entries=8)
 
 
 def invalidate_resident() -> None:
@@ -121,15 +121,12 @@ def invalidate_resident() -> None:
 def _resident_csr(csr, needs_vals: bool, trace=None):
     """Upload (rowptr int32, colind int32, values f32?) once per CSR object.
 
-    Keyed by object identity; bounded FIFO eviction.  The serving programs
-    gather per-user histories from these on device, so per-call history
-    transfer is eliminated entirely."""
-    key = (id(csr), needs_vals)
-    hit = _resident.get(key)
-    if hit is not None and hit[0]() is csr:
-        return hit[1]
-    import weakref
-
+    Keyed by object identity (``utils/residency.py``); bounded FIFO
+    eviction.  The serving programs gather per-user histories from these on
+    device, so per-call history transfer is eliminated entirely."""
+    hit = _resident.get(csr, extra=needs_vals)
+    if hit is not None:
+        return hit
     t0 = time.perf_counter()
     indptr = jnp.asarray(csr.rowptr, dtype=jnp.int32)
     cols = jnp.asarray(csr.colind, dtype=jnp.int32)
@@ -144,16 +141,7 @@ def _resident_csr(csr, needs_vals: bool, trace=None):
         nbytes = csr.rowptr.nbytes // 2 + csr.colind.nbytes + (0 if vals is None else 4 * len(csr.colind))
         trace.append(("upload:resident_csr", time.perf_counter() - t0, nbytes))
     entry = (indptr, cols, vals)
-    try:
-        ref = weakref.ref(csr, lambda _r, key=key: _resident.pop(key, None))
-    except TypeError:  # pragma: no cover
-
-        def ref(c=csr):
-            return c
-
-    while len(_resident) >= _RESIDENT_MAX:
-        _resident.pop(next(iter(_resident)))
-    _resident[key] = (ref, entry)
+    _resident.put(csr, entry, extra=needs_vals)
     return entry
 
 

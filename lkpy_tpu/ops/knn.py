@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lkpy_tpu.data.matrix import CSR
+from lkpy_tpu.utils.residency import ResidentCache
 
 __all__ = [
     "normalize_item_matrix",
@@ -65,7 +66,7 @@ class NeighborTable(NamedTuple):
         return (self.sims > 0).sum(axis=1).astype(np.int32)
 
 
-_row_scale_cache: dict = {}
+_row_scale_cache = ResidentCache("knn_row_scale", max_entries=8)
 
 
 def invalidate_knn_caches() -> None:
@@ -83,23 +84,11 @@ def _note_row_scale(csr: CSR, row_scale: np.ndarray) -> None:
     row) in a weak side table, so the Gram path skips its detection pass.
     CSR ``fields`` hold per-entry arrays, so a per-row annotation cannot
     ride there."""
-    import weakref
-
-    key = id(csr)
-    try:
-        ref = weakref.ref(csr, lambda _r, k=key: _row_scale_cache.pop(k, None))
-    except TypeError:  # pragma: no cover
-        return
-    while len(_row_scale_cache) >= 8:
-        _row_scale_cache.pop(next(iter(_row_scale_cache)))
-    _row_scale_cache[key] = (ref, row_scale)
+    _row_scale_cache.put(csr, row_scale)
 
 
 def _get_row_scale(csr: CSR) -> np.ndarray | None:
-    hit = _row_scale_cache.get(id(csr))
-    if hit is not None and hit[0]() is csr:
-        return hit[1]
-    return None
+    return _row_scale_cache.get(csr)
 
 
 def _segment_sums(vals: np.ndarray, rowptr: np.ndarray, nrows: int) -> np.ndarray:
@@ -306,7 +295,7 @@ def _row_of_entries(rowptr_core, nnz: int, pad: int):
     return jnp.cumsum(marks)
 
 
-_resident_struct: dict = {}
+_resident_struct = ResidentCache("knn_gram", max_entries=4)
 
 _i32_cache: dict = {}
 
@@ -565,9 +554,9 @@ def similarity_topk(
         ui_csr = None
         chunks: list = []
         if resident:
-            cached = _resident_struct.get(id(user_major))
-            if cached is not None and cached[0]() is user_major and cached[1] == user_chunk:
-                _, _, col_res, rp_res, row_of, nnz_pad = cached
+            cached = _resident_struct.get(user_major, extra=user_chunk)
+            if cached is not None:
+                col_res, rp_res, row_of, nnz_pad = cached
             else:
                 rp32 = user_major.rowptr.astype(np.int32)
                 nnz_max = int(
@@ -589,19 +578,7 @@ def similarity_topk(
                 # the structure is immutable and device-resident by design
                 # (same policy as serving's resident CSR): rebuilds over the
                 # same matrix — tuning sweeps, config grids — skip the upload
-                import weakref
-
-                key = id(user_major)
-                try:
-                    ref = weakref.ref(user_major, lambda _r, k=key: _resident_struct.pop(k, None))
-                except TypeError:  # pragma: no cover
-
-                    def ref(um=user_major):
-                        return um
-
-                while len(_resident_struct) >= 4:
-                    _resident_struct.pop(next(iter(_resident_struct)))
-                _resident_struct[key] = (ref, user_chunk, col_res, rp_res, row_of, nnz_pad)
+                _resident_struct.put(user_major, (col_res, rp_res, row_of, nnz_pad), extra=user_chunk)
             chunk_starts = list(range(0, n_users, user_chunk))
         else:
             # NOTE: user_major carries RAW values; the general path needs the

@@ -29,6 +29,7 @@ def big_user_matrix():
 def test_resident_path_engages_despite_large_budget(big_user_matrix):
     ui, iu = big_user_matrix
     normed, _ = K.normalize_item_matrix(iu, explicit=False)
+    K._resident_struct.clear()
     before = len(K._resident_struct)
     # 20 MB budget with 100 items would give a >100k-user chunk without the
     # uint16 cap — the resident structure must still be built and used
