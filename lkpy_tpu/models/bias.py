@@ -42,13 +42,34 @@ def entity_damping(damping, entity: str) -> float:
     return float(damping)
 
 
-@partial(jax.jit, static_argnames=("n_users", "n_items", "user_damping", "item_damping"))
-def _learn_biases(unums, inums, ratings, *, n_users: int, n_items: int, user_damping: float, item_damping: float):
-    """Jitted bias fit: global mean → damped item means → damped user means."""
+@partial(
+    jax.jit,
+    static_argnames=("n_users", "n_items", "user_damping", "item_damping", "with_items"),
+)
+def _learn_biases(
+    unums,
+    inums,
+    ratings,
+    *,
+    n_users: int,
+    n_items: int,
+    user_damping: float,
+    item_damping: float,
+    with_items: bool = True,
+):
+    """Jitted bias fit: global mean → damped item means → damped user means.
+
+    ``with_items=False`` skips the item pass entirely — matching the
+    reference's ``entities={'user'}`` semantics (bias.py ``learn``), where
+    user biases are residuals against the global mean ONLY, not against
+    item-centered ratings."""
     g = jnp.mean(ratings)
     centered = ratings - g
-    i_bias = segment_mean(centered, inums, n_items, damping=item_damping)
-    centered = centered - i_bias[inums]
+    if with_items:
+        i_bias = segment_mean(centered, inums, n_items, damping=item_damping)
+        centered = centered - i_bias[inums]
+    else:
+        i_bias = jnp.zeros(n_items, dtype=ratings.dtype)
     u_bias = segment_mean(centered, unums, n_users, damping=user_damping)
     return g, i_bias, u_bias
 
@@ -79,6 +100,7 @@ class BiasModel:
             n_items=csr.ncols,
             user_damping=entity_damping(damping, "user"),
             item_damping=entity_damping(damping, "item"),
+            with_items="item" in entities,
         )
         model = cls(damping, float(g))
         if "item" in entities:

@@ -76,3 +76,75 @@ def test_ml_sane(ml_ds):
     assert 3.0 < m.global_bias < 4.0
     assert np.all(np.abs(m.item_biases) < 3.0)
     assert np.all(np.abs(m.user_biases) < 3.0)
+
+
+def test_bias_items_only():
+    """entities={'item'}: no user biases learned or applied
+    (reference: tests/basic/test_bias.py test_bias_no_user)."""
+    import pandas as pd
+
+    from lkpy_tpu.data import from_interactions_df
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3],
+            "item_id": [10, 20, 10, 30, 20],
+            "rating": [4.0, 3.0, 5.0, 2.0, 3.5],
+        }
+    )
+    ds = from_interactions_df(df)
+    model = BiasModel.learn(ds, 0.0, entities=frozenset({"item"}))
+    assert model.user_biases is None
+    assert model.item_biases is not None
+    mu = df["rating"].mean()
+    want_10 = (4.0 - mu + 5.0 - mu) / 2
+    i10 = int(np.searchsorted(np.asarray(model.items.ids), 10))
+    assert model.item_biases[i10] == pytest.approx(want_10, abs=1e-6)
+
+
+def test_bias_users_only():
+    import pandas as pd
+
+    from lkpy_tpu.data import from_interactions_df
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3],
+            "item_id": [10, 20, 10, 30, 20],
+            "rating": [4.0, 3.0, 5.0, 2.0, 3.5],
+        }
+    )
+    ds = from_interactions_df(df)
+    model = BiasModel.learn(ds, 0.0, entities=frozenset({"user"}))
+    assert model.item_biases is None
+    assert model.user_biases is not None
+    # user bias = mean residual vs the global mean only (no item pass)
+    mu = df["rating"].mean()
+    want_u1 = ((4.0 - mu) + (3.0 - mu)) / 2
+    u1 = int(np.searchsorted(np.asarray(model.users.ids), 1))
+    assert model.user_biases[u1] == pytest.approx(want_u1, abs=1e-6)
+
+
+def test_bias_separate_damping_forms():
+    """dict and tuple damping apply per-entity values
+    (reference: tests/basic/test_bias.py test_bias_separate_damping)."""
+    import pandas as pd
+
+    from lkpy_tpu.data import from_interactions_df
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "item_id": [10, 20, 10, 30, 20, 30],
+            "rating": [4.0, 3.0, 5.0, 2.0, 3.5, 4.5],
+        }
+    )
+    ds = from_interactions_df(df)
+    m_dict = BiasModel.learn(ds, {"user": 10.0, "item": 2.0})
+    m_tuple = BiasModel.learn(ds, (10.0, 2.0))  # (user, item) per reference
+    assert np.allclose(m_dict.item_biases, m_tuple.item_biases)
+    assert np.allclose(m_dict.user_biases, m_tuple.user_biases)
+    # heavier user damping shrinks user biases more than item biases
+    m_flat = BiasModel.learn(ds, 2.0)
+    assert np.all(np.abs(m_dict.user_biases) <= np.abs(m_flat.user_biases) + 1e-9)
+    assert np.allclose(m_dict.item_biases, m_flat.item_biases)
