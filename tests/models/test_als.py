@@ -101,3 +101,23 @@ def test_implicit_accuracy_gate(ml_ds):
     res = quick_measure_model(ImplicitMFScorer(features=64, epochs=10), ml_ds, rng=42, user_frac=0.5)
     ndcg = res.list_summary().loc["NDCG@20", "mean"]
     assert ndcg >= 0.22
+
+
+@pytest.mark.parametrize("family", ["explicit", "implicit"])
+def test_fold_in_consistent_with_trained_embedding(family, biasedmf, implicitmf, ml_ds):
+    """A known user scored via fold-in of their own training history must
+    closely match their trained-embedding scores (reference:
+    tests/models/test_als_explicit.py:122, rel 9e-2 — ALS fold-in IS the
+    trained user update, so one extra half-step moves scores only slightly)."""
+    scorer = biasedmf if family == "explicit" else implicitmf
+    rng = np.random.default_rng(99)
+    users = rng.choice(np.asarray(ml_ds.users.ids), 3, replace=False)
+    items = ItemList(item_ids=rng.choice(np.asarray(ml_ds.items.ids), 8, replace=False))
+    for u in users:
+        known = scorer(query=RecQuery(user_id=int(u)), items=items)
+        hist = ml_ds.user_row(int(u))
+        fold = scorer(query=RecQuery(user_items=hist), items=items)
+        k, f = known.scores(), fold.scores()
+        mask = np.isfinite(k) & np.isfinite(f)
+        assert mask.any()
+        np.testing.assert_allclose(f[mask], k[mask], rtol=0.15, atol=0.05)
