@@ -121,3 +121,20 @@ def test_fold_in_consistent_with_trained_embedding(family, biasedmf, implicitmf,
         mask = np.isfinite(k) & np.isfinite(f)
         assert mask.any()
         np.testing.assert_allclose(f[mask], k[mask], rtol=0.15, atol=0.05)
+
+
+def test_implicit_use_ratings(ml_ds):
+    """use_ratings=True weights confidence by rating values (reference:
+    tests/models/test_als_implicit.py:351 test_als_train_large_ratings)."""
+    w = ImplicitMFScorer(features=8, epochs=3, use_ratings=True)
+    w.train(ml_ds, TrainingOptions(rng=42))
+    assert w.user_embeddings.shape == (ml_ds.user_count, 8)
+    assert w.item_embeddings.shape == (ml_ds.item_count, 8)
+    assert np.isfinite(w.user_embeddings).all()
+    # rating-weighted confidence must actually change the fit
+    uw = ImplicitMFScorer(features=8, epochs=3)
+    uw.train(ml_ds, TrainingOptions(rng=42))
+    assert not np.allclose(w.item_embeddings, uw.item_embeddings)
+    # and scoring still works through the standard path
+    out = w(query=1, items=ItemList(item_ids=[31, 1029]))
+    assert np.isfinite(out.scores()).all()
