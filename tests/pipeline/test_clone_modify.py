@@ -104,3 +104,24 @@ def test_node_missing_none_returns_none():
     assert pb.node("nope", missing="none") is None
     with pytest.raises(Exception):
         pb.node("nope")
+
+
+def test_runtime_input_typecheck():
+    """Typed inputs reject mis-typed runtime values
+    (reference: tests/pipeline/test_pipeline_runtime_typecheck.py)."""
+    pb = PipelineBuilder()
+    msg = pb.create_input("message", str)
+    pb.add_component("hello", lambda message: f"Hello, {message}", message=msg)
+    pipe = pb.build()
+    assert pipe.run("hello", message="world") == "Hello, world"
+    with pytest.raises(TypeError, match="expected"):
+        pipe.run("hello", message=5)
+
+
+def test_untyped_input_accepts_anything():
+    pb = PipelineBuilder()
+    x = pb.create_input("x")
+    pb.add_component("echo", lambda x: x, x=x)
+    pipe = pb.build()
+    assert pipe.run("echo", x=5) == 5
+    assert pipe.run("echo", x="s") == "s"
