@@ -18,6 +18,7 @@ import numpy as np
 from pydantic import BaseModel
 
 from lkpy_tpu.data import Dataset, ItemList, MatrixRelationshipSet, QueryInput, RecQuery, Vocabulary
+from lkpy_tpu.lazy import Lazy
 from lkpy_tpu.ops.topk import argtopn
 from lkpy_tpu.pipeline.components import Component
 from lkpy_tpu.random import RNGInput, derive_seed, random_generator
@@ -326,18 +327,25 @@ class TrainingItemsCandidateSelector(Component):
 # ---------------------------------------------------------------------------
 # composition
 class FallbackScorer(Component):
-    """Fill missing (NaN) scores from a backup scorer (reference: composite.py:19)."""
+    """Fill missing (NaN) scores from a backup scorer (reference: composite.py:19).
+
+    The ``backup`` input is :class:`~lkpy_tpu.lazy.Lazy` (as in the
+    reference): in a pipeline the backup scorer node only RUNS when the
+    primary left NaNs to fill.  Direct callers may still pass a plain
+    ``ItemList``."""
 
     config: None
 
-    def __call__(self, scores: ItemList, backup: ItemList) -> ItemList:
+    def __call__(self, scores: ItemList, backup: "Lazy[ItemList]") -> ItemList:
         s = scores.scores()
         if s is None:
-            return backup
+            return backup.get() if isinstance(backup, Lazy) else backup
         s = s.copy()
         missing = np.isnan(s)
         if not missing.any():
             return scores
+        if isinstance(backup, Lazy):
+            backup = backup.get()
         bs = backup.scores()
         if bs is not None:
             # align by item ID

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable, Iterable
 
 from lkpy_tpu.diagnostics import PipelineError
+from lkpy_tpu.lazy import Lazy, LazyValue
 from lkpy_tpu.logging import Stopwatch, get_logger, trace
 from lkpy_tpu.pipeline.components import Component, class_path, component_inputs
 from lkpy_tpu.pipeline.config import (
@@ -24,6 +25,15 @@ from lkpy_tpu.pipeline.config import (
 )
 from lkpy_tpu.pipeline.nodes import ComponentNode, FallbackNode, InputNode, LiteralNode, Node
 from lkpy_tpu.training import Trainable, TrainingOptions
+
+
+def _is_lazy_hint(hint) -> bool:
+    """Whether a component input annotation is ``Lazy[...]`` (deferral)."""
+    if hint is None:
+        return False
+    from typing import get_origin
+
+    return (get_origin(hint) or hint) is Lazy
 
 _log = get_logger(__name__)
 
@@ -306,9 +316,26 @@ class _Runner:
         comp = node.component
         sig_inputs = component_inputs(comp)
         kwargs = {}
-        for iname in sig_inputs:
+        for iname, hint in sig_inputs.items():
             src = node.inputs.get(iname)
             if src is None:
+                continue
+            if _is_lazy_hint(hint):
+                # a Lazy[T]-annotated input defers its upstream node until
+                # .get() is called (reference: lazy.py Lazy + pipeline
+                # runner) — e.g. FallbackScorer's backup scorer only runs
+                # when scores are actually missing
+                src_node = self.pipe._nodes[src]
+
+                def _thunk(n=src_node, nm=node.name, inm=iname):
+                    value = self.run(n)
+                    for hook in self.pipe._hooks["component-input"]:
+                        res = hook(nm, inm, value)
+                        if res is not None:
+                            value = res
+                    return value
+
+                kwargs[iname] = LazyValue(_thunk)
                 continue
             value = self.run(self.pipe._nodes[src])
             for hook in self.pipe._hooks["component-input"]:
