@@ -81,3 +81,19 @@ def test_state_checkpoint_roundtrip(tmp_path, ml_ds):
     load_parameters(s2, tmp_path / "ckpt.npz")
     np.testing.assert_allclose(s2.item_embeddings, s.item_embeddings)
     np.testing.assert_allclose(s2.user_embeddings, s.user_embeddings)
+
+
+def test_extreme_scales_stay_finite():
+    """Overflow stability (reference: tests/stochastic/test_stochastic_ranker.py
+    test_overflow): huge score*scale products must not produce NaN/inf keys."""
+    for scale in (1e-3, 1.0, 1e6):
+        r = StochasticTopNRanker(scale=scale)
+        items = ItemList(item_ids=np.arange(50), scores=np.linspace(-1e4, 1e4, 50))
+        out = r(items=items)
+        assert len(out) == 50
+        assert out.ordered
+        assert np.isfinite(out.scores()).all()
+        # original scores preserved per item
+        omap = dict(zip(out.ids().tolist(), out.scores().tolist()))
+        imap = dict(zip(items.ids().tolist(), items.scores().tolist()))
+        assert omap == imap
