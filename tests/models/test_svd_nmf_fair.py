@@ -75,3 +75,43 @@ def test_nmf_gate(ml_dense_ds):
     density-matched subset."""
     res = quick_measure_model(NMFScorer(), ml_dense_ds, rng=42, user_frac=0.5)
     assert res.list_summary().loc["NDCG@20", "mean"] >= 0.15
+
+
+def _fair_rand_ds(items, protected):
+    dsb = DatasetBuilder()
+    dsb.add_entities("item", items)
+    dsb.add_scalar_attribute("item", "protected", items, protected)
+    df = pd.DataFrame({"user_id": np.zeros(len(items), np.int64), "item_id": items})
+    dsb.add_interactions("click", df, entities=["user", "item"], missing="insert")
+    return dsb.build()
+
+
+@pytest.mark.parametrize("n,p,alpha", [(20, 0.5, 0.2), (50, 0.5, 0.1), (100, 0.1, 0.3)])
+def test_fair_constraints_hold_at_every_prefix(n, p, alpha):
+    """The cumulative protected count must satisfy the m_list quota at every
+    rank (reference: tests/reranking/test_fair_reranker.py
+    test_randomized_reranking)."""
+    rng = np.random.default_rng(42)
+    items = rng.permutation(n + 10)
+    protected = rng.random(n + 10) < p
+    ds = _fair_rand_ds(items, protected)
+    rr = FAIRReranker(n=n, p=p, alpha=alpha)
+    rr.train(ds)
+    out = rr(ItemList(item_ids=items, ordered=True))
+    ids = out.ids()
+    assert len(out) == n
+    assert len(set(ids.tolist())) == n  # no duplicates
+    prot_ids = set(items[protected].tolist())
+    counts = np.cumsum([int(i in prot_ids) for i in ids])
+    assert np.all(counts >= rr.m_list[: len(counts)])
+
+
+def test_fair_all_unprotected_is_noop():
+    """With no protected items the reranker preserves the input order
+    (reference: test_fair_reranker.py test_all_unprotected_items)."""
+    items = np.arange(6, 18)
+    ds = _fair_rand_ds(items, np.zeros(len(items), dtype=bool))
+    rr = FAIRReranker(n=12, p=0.5, alpha=0.1)
+    rr.train(ds)
+    out = rr(ItemList(item_ids=items, ordered=True), n=6)
+    assert np.array_equal(out.ids(), items[:6])
