@@ -27,6 +27,7 @@ __all__ = [
     "CompileCacheSettings",
     "ServingSettings",
     "lkpy_tpu_config",
+    "locate_configuration_root",
     "configure",
     "ensure_compile_cache",
     "EmbeddingSizeMixin",
@@ -175,9 +176,37 @@ def _env_overrides() -> dict:
     return out
 
 
+def locate_configuration_root(
+    *,
+    cwd: Path | str | None = None,
+    abort_at_pyproject: bool = True,
+    abort_at_gitroot: bool = True,
+) -> Path | None:
+    """Search upward from ``cwd`` for a directory containing an
+    ``lkpy-tpu.toml`` (reference: config/__init__.py:200
+    ``locate_configuration_root``).  The search stops — returning None — at
+    the first directory holding a ``pyproject.toml`` or ``.git`` without a
+    config file, so a project cannot accidentally inherit configuration
+    from outside its own root."""
+    cur = Path(cwd) if cwd is not None else Path.cwd()
+    cur = cur.resolve()
+    while True:
+        if (cur / CONFIG_FILES[0]).exists():
+            return cur
+        if abort_at_pyproject and (cur / "pyproject.toml").exists():
+            return None
+        if abort_at_gitroot and (cur / ".git").exists():
+            return None
+        if cur.parent == cur:
+            return None
+        cur = cur.parent
+
+
 def load_config(root: Path | str | None = None) -> Settings:
     data: dict = {}
-    root = Path(root) if root else Path.cwd()
+    if root is None:
+        root = locate_configuration_root() or Path.cwd()
+    root = Path(root)
     for name in CONFIG_FILES:
         f = root / name
         if f.exists():

@@ -59,3 +59,69 @@ def test_ladder_ratio_reaches_als_trainer(ml_ds):
             return len(tr.u_buckets) + len(tr.i_buckets)
 
     assert n_buckets(4.0) < n_buckets(1.2)
+
+
+def test_locate_config_in_cwd(tmp_path):
+    from lkpy_tpu.config import locate_configuration_root
+
+    (tmp_path / "lkpy-tpu.toml").write_text("")
+    assert locate_configuration_root(cwd=tmp_path) == tmp_path.resolve()
+
+
+def test_locate_config_in_parent(tmp_path):
+    from lkpy_tpu.config import locate_configuration_root
+
+    (tmp_path / "lkpy-tpu.toml").write_text("")
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    assert locate_configuration_root(cwd=sub) == tmp_path.resolve()
+
+
+def test_locate_stops_at_git_root(tmp_path):
+    """A .git directory without a config file ends the search
+    (reference: tests/config/test_locate.py test_stop_git)."""
+    from lkpy_tpu.config import locate_configuration_root
+
+    (tmp_path / "lkpy-tpu.toml").write_text("")
+    proj = tmp_path / "proj"
+    (proj / ".git").mkdir(parents=True)
+    sub = proj / "src"
+    sub.mkdir()
+    assert locate_configuration_root(cwd=sub) is None
+    # unless the stop is disabled
+    assert locate_configuration_root(cwd=sub, abort_at_gitroot=False) == tmp_path.resolve()
+
+
+def test_locate_stops_at_pyproject(tmp_path):
+    from lkpy_tpu.config import locate_configuration_root
+
+    (tmp_path / "lkpy-tpu.toml").write_text("")
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "pyproject.toml").write_text("")
+    sub = proj / "deep"
+    sub.mkdir()
+    assert locate_configuration_root(cwd=sub) is None
+
+
+def test_locate_config_beside_git(tmp_path):
+    """A config file in the SAME dir as .git wins (checked before the stop)."""
+    from lkpy_tpu.config import locate_configuration_root
+
+    proj = tmp_path / "proj"
+    (proj / ".git").mkdir(parents=True)
+    (proj / "lkpy-tpu.toml").write_text("")
+    sub = proj / "src"
+    sub.mkdir()
+    assert locate_configuration_root(cwd=sub) == proj.resolve()
+
+
+def test_load_config_uses_located_root(tmp_path, monkeypatch):
+    from lkpy_tpu.config import load_config
+
+    (tmp_path / "lkpy-tpu.toml").write_text('random_seed = 777\n')
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    monkeypatch.chdir(sub)
+    cfg = load_config()
+    assert cfg.random_seed == 777
