@@ -144,3 +144,40 @@ def test_batch_results():
     assert list(br.output("recommendations").lookup(2).ids()) == [7]
     with pytest.raises(KeyError):
         br.output("nope")
+
+
+def test_latch_threads():
+    """Latch coordinates threads (reference: tests/utils/test_latch.py)."""
+    import threading
+    import time
+
+    from lkpy_tpu.utils.misc import Latch
+
+    latch = Latch(3)
+    results = []
+
+    def worker(i):
+        latch.count_down()
+        results.append(i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    assert latch.wait(timeout=5.0)
+    for t in threads:
+        t.join()
+    assert sorted(results) == [0, 1, 2]
+    # already-open latch returns immediately
+    assert latch.wait(timeout=0.01)
+    # extra count_down on an open latch is harmless
+    latch.count_down()
+    assert latch.wait(timeout=0.01)
+
+
+def test_latch_timeout():
+    from lkpy_tpu.utils.misc import Latch
+
+    latch = Latch(1)
+    assert not latch.wait(timeout=0.05)
+    latch.count_down()
+    assert latch.wait(timeout=0.05)
