@@ -72,3 +72,38 @@ def test_pop_scale_smoke(ml_ds):
     for n_jobs in (1, 2):
         recs = batch.recommend(pipe, users, n=10, n_jobs=n_jobs, device=False)
         assert len(recs) == len(users)
+
+
+@pytest.mark.parametrize("family", ["pop", "bias", "implicit-mf", "item-knn"])
+def test_training_items_removed(family, ml_ds):
+    """Recommendations never contain the user's training items, for any
+    scorer family and both the solo and batch paths (reference:
+    tests/integration/test_pipeline_basics.py:72,89,108)."""
+    from lkpy_tpu import recommend, topn_pipeline
+    from lkpy_tpu.batch import recommend as batch_recommend
+    from lkpy_tpu.models.als import ImplicitMFScorer
+    from lkpy_tpu.models.basic import PopScorer
+    from lkpy_tpu.models.bias import BiasScorer
+    from lkpy_tpu.models.knn import ItemKNNScorer
+    from lkpy_tpu.training import TrainingOptions
+
+    scorer = {
+        "pop": lambda: PopScorer(),
+        "bias": lambda: BiasScorer(damping=5.0),
+        "implicit-mf": lambda: ImplicitMFScorer(features=8, epochs=2),
+        "item-knn": lambda: ItemKNNScorer(max_nbrs=10),
+    }[family]()
+    pipe = topn_pipeline(scorer, n=20)
+    pipe.train(ml_ds, TrainingOptions(rng=42))
+    rng = np.random.default_rng(5)
+    users = rng.choice(np.asarray(ml_ds.users.ids), 5, replace=False)
+    matrix = ml_ds.interaction_matrix()
+    for u in users:
+        hist = set(matrix.row_items(int(u)).ids().tolist())
+        solo = recommend(pipe, int(u), 20)
+        assert not (set(solo.ids().tolist()) & hist), family
+    batch_out = batch_recommend(pipe, [int(u) for u in users], 20)
+    for u in users:
+        hist = set(matrix.row_items(int(u)).ids().tolist())
+        il = batch_out.lookup(int(u))
+        assert not (set(il.ids().tolist()) & hist), family
