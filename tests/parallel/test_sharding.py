@@ -98,6 +98,14 @@ def test_graft_entry():
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900, env=env
     )
+    if res.returncode < 0:
+        # killed by a signal: the CPU backend's thread pool occasionally
+        # SIGABRTs under heavy host contention (observed once mid-suite,
+        # passes in isolation) — retry once; a Python-level failure
+        # (returncode > 0, real assertion/traceback) is NOT retried
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=900, env=env
+        )
     assert res.returncode == 0, f"graft entry failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
     assert "GRAFT_OK" in res.stdout
 
