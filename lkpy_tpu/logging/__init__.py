@@ -10,7 +10,7 @@ Design: stdlib ``logging`` core with a key-value adapter (structlog is not in
 the image); Rich for console rendering when a TTY is attached.
 """
 
-from lkpy_tpu.logging.logger import LoggingConfig, LKLogger, basic_logging, get_logger
+from lkpy_tpu.logging.logger import LoggingConfig, LKLogger, basic_logging, get_logger, notebook_logging
 from lkpy_tpu.logging.progress import Progress, item_progress, set_progress_impl
 from lkpy_tpu.logging.resource import max_memory, reset_linux_hwm
 from lkpy_tpu.logging.stopwatch import Stopwatch
@@ -20,6 +20,7 @@ from lkpy_tpu.logging.tracing import Tracer, activate_tracing, trace, tracing_ac
 __all__ = [
     "LKLogger",
     "LoggingConfig",
+    "notebook_logging",
     "Progress",
     "Stopwatch",
     "Task",

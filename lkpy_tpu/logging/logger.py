@@ -16,7 +16,7 @@ import sys
 from dataclasses import dataclass, field
 from pathlib import Path
 
-__all__ = ["get_logger", "LKLogger", "LoggingConfig", "basic_logging"]
+__all__ = ["get_logger", "LKLogger", "LoggingConfig", "basic_logging", "notebook_logging"]
 
 TRACE_LEVEL = 5
 logging.addLevelName(TRACE_LEVEL, "TRACE")
@@ -158,3 +158,16 @@ class LoggingConfig:
 def basic_logging(level: int = logging.INFO):
     cfg = LoggingConfig(level=level)
     cfg.apply()
+
+
+def notebook_logging(level: int = logging.INFO) -> None:
+    """One-call logging + progress setup for notebooks
+    (reference: logging/_config.py:66 ``notebook_logging``): applies a
+    console logging config at ``level`` and selects the Jupyter progress
+    backend."""
+    from lkpy_tpu.logging.progress import set_progress_impl
+
+    cfg = LoggingConfig()
+    cfg.level = level
+    cfg.apply()
+    set_progress_impl("notebook")

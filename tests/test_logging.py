@@ -153,3 +153,22 @@ def test_log_relay_unconfigured(monkeypatch):
 
     monkeypatch.delenv("LKT_LOG_RELAY", raising=False)
     assert setup_log_relay() is None
+
+
+def test_notebook_logging_selects_notebook_backend():
+    """Reference: logging/_config.py notebook_logging."""
+    import logging as _logging
+
+    from lkpy_tpu.logging import notebook_logging
+    from lkpy_tpu.logging import progress as prog
+
+    prior = prog._impl
+    try:
+        notebook_logging(_logging.WARNING)
+        assert prog._impl == "notebook"
+        root = _logging.getLogger()
+        assert any(h.level == _logging.WARNING for h in root.handlers)
+    finally:
+        prog.set_progress_impl(prior)
+        for h in list(_logging.getLogger().handlers):
+            _logging.getLogger().removeHandler(h)
