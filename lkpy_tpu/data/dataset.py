@@ -481,15 +481,37 @@ class Dataset:
 
     def __init__(
         self,
-        schema: DataSchema,
-        entities: dict[str, EntitySet],
-        tables: dict[str, pd.DataFrame],
+        schema,
+        entities: dict[str, EntitySet] | None = None,
+        tables: dict[str, pd.DataFrame] | None = None,
     ):
+        if callable(schema) and entities is None and tables is None:
+            # lazy construction (reference: _dataset.py — ``Dataset(thunk)``):
+            # the thunk runs on FIRST attribute access; until then the
+            # instance holds nothing but the deferred loader.  Expensive
+            # loads (ML-20M-scale fixtures) cost nothing unless used.
+            object.__setattr__(self, "_lazy_thunk", schema)
+            return
         self.schema = schema
         self._entities = entities
         self._tables = tables
         self._rel_cache: dict[str, RelationshipSet] = {}
         self._matrix_cache: dict[str, MatrixRelationshipSet] = {}
+
+    def __getattr__(self, name: str):
+        # only reached for MISSING attributes — i.e. before a lazy instance
+        # materializes (materialized/eager instances have everything in
+        # __dict__ and never come through here)
+        thunk = self.__dict__.get("_lazy_thunk")
+        if thunk is None or name.startswith("__"):
+            raise AttributeError(name)
+        real = thunk()
+        if not isinstance(real, Dataset):
+            raise TypeError(f"lazy dataset thunk returned {type(real)}, expected Dataset")
+        d = dict(real.__dict__)
+        self.__dict__.clear()
+        self.__dict__.update(d)
+        return getattr(self, name)
 
     # ---- identity --------------------------------------------------------
     @property
