@@ -21,7 +21,7 @@ _ensure_compile_cache()
 
 from lkpy_tpu.data import Dataset, DatasetBuilder, ItemList, ItemListCollection, RecQuery, Vocabulary
 from lkpy_tpu.operations import predict, recommend, score
-from lkpy_tpu.pipeline import Component, Pipeline, PipelineBuilder, RecPipelineBuilder, topn_pipeline
+from lkpy_tpu.pipeline import Component, Pipeline, PipelineBuilder, RecPipelineBuilder, predict_pipeline, topn_pipeline
 
 __all__ = [
     "__version__",
@@ -35,6 +35,7 @@ __all__ = [
     "PipelineBuilder",
     "RecPipelineBuilder",
     "Component",
+    "predict_pipeline",
     "topn_pipeline",
     "predict",
     "recommend",
