@@ -191,7 +191,10 @@ def locate_configuration_root(
     cur = Path(cwd) if cwd is not None else Path.cwd()
     cur = cur.resolve()
     while True:
-        if (cur / CONFIG_FILES[0]).exists():
+        # ANY config file anchors the root (load_config merges them all) —
+        # a directory holding only the gitignored local-override file must
+        # still be recognized (round-5 review)
+        if any((cur / name).exists() for name in CONFIG_FILES):
             return cur
         if abort_at_pyproject and (cur / "pyproject.toml").exists():
             return None

@@ -487,30 +487,53 @@ class Dataset:
     ):
         if callable(schema) and entities is None and tables is None:
             # lazy construction (reference: _dataset.py — ``Dataset(thunk)``):
-            # the thunk runs on FIRST attribute access; until then the
-            # instance holds nothing but the deferred loader.  Expensive
-            # loads (ML-20M-scale fixtures) cost nothing unless used.
+            # the thunk runs on FIRST data access; until then the instance
+            # holds nothing but the deferred loader.  Expensive loads
+            # (ML-20M-scale fixtures) cost nothing unless used.
+            import threading
+
             object.__setattr__(self, "_lazy_thunk", schema)
+            object.__setattr__(self, "_lazy_lock", threading.Lock())
             return
+        if entities is None or tables is None:
+            raise TypeError("Dataset needs (schema, entities, tables), or a single loader thunk")
         self.schema = schema
         self._entities = entities
         self._tables = tables
         self._rel_cache: dict[str, RelationshipSet] = {}
         self._matrix_cache: dict[str, MatrixRelationshipSet] = {}
 
+    #: the eager instance's data attributes — ONLY these trigger lazy
+    #: materialization.  Anything else (IPython's ``_repr_html_`` probes,
+    #: ``hasattr`` duck-typing) raises AttributeError without running the
+    #: thunk, preserving the documented "costs nothing unless used".
+    _LAZY_DATA_ATTRS = frozenset({"schema", "_entities", "_tables", "_rel_cache", "_matrix_cache"})
+
+    def __getstate__(self):
+        # materialize before pickling: the deferred thunk (often a closure)
+        # and its lock are not generally picklable, and the receiver wants
+        # the data anyway
+        if "_lazy_thunk" in self.__dict__:
+            self.item_count  # touches schema -> materializes
+        return self.__dict__
+
     def __getattr__(self, name: str):
         # only reached for MISSING attributes — i.e. before a lazy instance
         # materializes (materialized/eager instances have everything in
         # __dict__ and never come through here)
         thunk = self.__dict__.get("_lazy_thunk")
-        if thunk is None or name.startswith("__"):
+        if thunk is None or name not in Dataset._LAZY_DATA_ATTRS:
             raise AttributeError(name)
-        real = thunk()
-        if not isinstance(real, Dataset):
-            raise TypeError(f"lazy dataset thunk returned {type(real)}, expected Dataset")
-        d = dict(real.__dict__)
-        self.__dict__.clear()
-        self.__dict__.update(d)
+        with self.__dict__["_lazy_lock"]:
+            if "_lazy_thunk" in self.__dict__:  # not materialized by a racer
+                real = thunk()
+                if not isinstance(real, Dataset):
+                    raise TypeError(f"lazy dataset thunk returned {type(real)}, expected Dataset")
+                # update THEN drop the thunk markers — a concurrent reader
+                # never observes a half-cleared dict
+                self.__dict__.update(real.__dict__)
+                del self.__dict__["_lazy_thunk"]
+                del self.__dict__["_lazy_lock"]
         return getattr(self, name)
 
     # ---- identity --------------------------------------------------------

@@ -147,12 +147,18 @@ class BiasModel:
 
         user_bias = 0.0
         ratings = user_items.field("rating") if user_items is not None else None
-        if ratings is not None and len(user_items) > 0 and self.item_biases is not None:
-            # fold-in: damped mean residual of the user's ratings
-            nums = user_items.numbers(vocabulary=self.items, missing="negative")
-            ok = nums >= 0
+        if ratings is not None and len(user_items) > 0:
+            # fold-in: damped mean residual of the user's ratings; item
+            # biases subtract only when the model HAS them (a users-only
+            # model folds residuals against the global mean alone —
+            # reference bias.py compute_for_items; round-5 review found the
+            # old `item_biases is not None` gate dropped fold-in entirely
+            # for entities={'user'} models)
             resid = ratings.astype(np.float64) - self.global_bias
-            resid[ok] -= self.item_biases[nums[ok]]
+            if self.item_biases is not None and self.items is not None:
+                nums = user_items.numbers(vocabulary=self.items, missing="negative")
+                ok = nums >= 0
+                resid[ok] -= self.item_biases[nums[ok]]
             ud = entity_damping(self.damping, "user")
             user_bias = float(np.sum(resid) / (len(resid) + ud))
         elif user_id is not None and self.user_biases is not None and self.users is not None:

@@ -324,7 +324,10 @@ class _Runner:
                 # a Lazy[T]-annotated input defers its upstream node until
                 # .get() is called (reference: lazy.py Lazy + pipeline
                 # runner) — e.g. FallbackScorer's backup scorer only runs
-                # when scores are actually missing
+                # when scores are actually missing.  Profiling caveat: a
+                # deferred node that DOES run executes inside the consumer's
+                # timed call, so its duration appears under both nodes —
+                # subtract the upstream entry when attributing the consumer.
                 src_node = self.pipe._nodes[src]
 
                 def _thunk(n=src_node, nm=node.name, inm=iname):

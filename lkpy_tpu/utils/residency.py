@@ -22,12 +22,14 @@ from typing import Any, Hashable
 
 __all__ = ["ResidentCache", "invalidate_all_residency"]
 
-_REGISTRY: list["ResidentCache"] = []
+#: weak registry: short-lived caches (tests, per-session instances) are
+#: collectable and do not accumulate in the sweep list
+_REGISTRY: "weakref.WeakSet[ResidentCache]" = weakref.WeakSet()
 
 
 def invalidate_all_residency() -> None:
-    """Clear every registered :class:`ResidentCache`."""
-    for cache in _REGISTRY:
+    """Clear every live registered :class:`ResidentCache`."""
+    for cache in list(_REGISTRY):
         cache.clear()
 
 
@@ -44,7 +46,7 @@ class ResidentCache:
         self.name = name
         self.max_entries = max_entries
         self._entries: dict = {}
-        _REGISTRY.append(self)
+        _REGISTRY.add(self)
 
     def get(self, anchor: Any, extra: Hashable = None):
         """The cached payload for ``anchor`` (+ optional extra key), or None."""

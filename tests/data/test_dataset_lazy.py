@@ -57,3 +57,56 @@ def test_lazy_bad_thunk_raises():
     ds = Dataset(lambda: "not a dataset")
     with pytest.raises(TypeError, match="expected Dataset"):
         ds.item_count
+
+
+def test_lazy_survives_ipython_repr_probes():
+    """Attribute probes outside the data surface (IPython display paths,
+    hasattr duck-typing) must NOT trigger the load (round-5 review)."""
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return from_interactions_df(_make_df())
+
+    ds = Dataset(loader)
+    assert not hasattr(ds, "_ipython_canary_method_should_not_exist_")
+    assert not hasattr(ds, "_repr_html_")
+    assert not hasattr(ds, "nonexistent_attr")
+    assert calls == []
+    assert ds.item_count == 30
+    assert calls == [1]
+
+
+def test_lazy_materialization_thread_safe():
+    import threading
+    import time
+
+    calls = []
+
+    def loader():
+        calls.append(1)
+        time.sleep(0.05)
+        return from_interactions_df(_make_df())
+
+    ds = Dataset(loader)
+    counts = []
+    threads = [threading.Thread(target=lambda: counts.append(ds.item_count)) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert counts == [30, 30, 30, 30]
+    assert calls == [1]  # the thunk ran exactly once
+
+
+def test_lazy_pickles_by_materializing():
+    import pickle
+
+    ds = Dataset(lambda: from_interactions_df(_make_df()))
+    back = pickle.loads(pickle.dumps(ds))
+    assert back.item_count == 30
+
+
+def test_eager_constructor_rejects_missing_args():
+    with pytest.raises(TypeError, match="loader thunk"):
+        Dataset("not-a-thunk")

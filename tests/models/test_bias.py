@@ -148,3 +148,28 @@ def test_bias_separate_damping_forms():
     m_flat = BiasModel.learn(ds, 2.0)
     assert np.all(np.abs(m_dict.user_biases) <= np.abs(m_flat.user_biases) + 1e-9)
     assert np.allclose(m_dict.item_biases, m_flat.item_biases)
+
+
+def test_users_only_model_folds_in_session_ratings():
+    """A users-only bias model must still fold in session ratings — against
+    the global mean alone (round-5 review; reference compute_for_items)."""
+    import pandas as pd
+
+    from lkpy_tpu.data import RecQuery, from_interactions_df
+    from lkpy_tpu.models.bias import BiasScorer
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3],
+            "item_id": [10, 20, 10, 30, 20],
+            "rating": [4.0, 3.0, 5.0, 2.0, 3.5],
+        }
+    )
+    ds = from_interactions_df(df)
+    sc = BiasScorer(damping=0.0, entities={"user"})
+    sc.train(ds)
+    mu = df["rating"].mean()
+    hist = ItemList(item_ids=[10, 20], rating=np.array([5.0, 4.0]))
+    out = sc(query=RecQuery(user_items=hist), items=ItemList(item_ids=[30]))
+    want = mu + ((5.0 - mu) + (4.0 - mu)) / 2  # fold-in vs global mean only
+    assert out.scores()[0] == pytest.approx(want, abs=1e-5)

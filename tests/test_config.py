@@ -125,3 +125,14 @@ def test_load_config_uses_located_root(tmp_path, monkeypatch):
     monkeypatch.chdir(sub)
     cfg = load_config()
     assert cfg.random_seed == 777
+
+
+def test_locate_anchors_on_local_file_alone(tmp_path):
+    """A directory holding only the local-override file is a valid config
+    root (round-5 review: load_config merges both files)."""
+    from lkpy_tpu.config import locate_configuration_root
+
+    (tmp_path / "lkpy-tpu.local.toml").write_text("")
+    sub = tmp_path / "deep"
+    sub.mkdir()
+    assert locate_configuration_root(cwd=sub) == tmp_path.resolve()
